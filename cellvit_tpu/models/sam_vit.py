@@ -1,0 +1,232 @@
+"""SAM ViTDet image encoder (flax.linen, NHWC): windowed attention +
+decomposed relative position bias + conv neck.
+
+Behavioral parity target: `models/encoders/VIT/SAM/image_encoder.py:24-426`
+and the wrapper `models/segmentation/cell_segmentation/utils.py:177-233` in
+the reference. Windowed attention (window 14) with a few global-attention
+blocks bounds cost at 4096 tokens for 1024² tiles; skips are extracted after
+the blocks listed in `extract_layers` (1-based) and stay in (B, H, W, C).
+
+TPU-first notes:
+* tokens remain on a 2-D grid (B, Ht, Wt, C); window partition is pure
+  reshape/transpose;
+* rel-pos interpolation (127→31 when running 256² training crops through
+  global blocks trained at 64×64) is a precomputed linear-resize matmul;
+* qkv is one fused projection; softmax in f32, matmuls in `dtype`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cellvit_tpu.models.layers import (
+    LayerNorm2d,
+    Mlp,
+    PatchEmbed,
+    resize_matrix_1d,
+    trunc_normal_init,
+)
+
+Dtype = Any
+
+
+def window_partition(x: jax.Array, window: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """(B, H, W, C) → (B·nW, window, window, C), zero-padding H/W up to a
+    multiple of `window`. Returns padded (Hp, Wp)."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(
+    windows: jax.Array, window: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jax.Array:
+    """Inverse of `window_partition`, cropping the padding."""
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // (hp * wp // window // window)
+    x = windows.reshape(b, hp // window, wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def gather_rel_pos(rel_pos: jax.Array, size: int) -> jax.Array:
+    """Build the (size, size, head_dim) table R[i, j] = rel_pos[i - j + size-1],
+    linearly interpolating the stored table to length 2·size-1 if needed
+    (reference `get_rel_pos`, image_encoder.py:321-351; q_size == k_size here).
+    """
+    need = 2 * size - 1
+    if rel_pos.shape[0] != need:
+        m = resize_matrix_1d(rel_pos.shape[0], need, need / rel_pos.shape[0], "linear")
+        rel_pos = m @ rel_pos
+    idx = (
+        jnp.arange(size)[:, None] - jnp.arange(size)[None, :] + (size - 1)
+    )  # (size, size)
+    return rel_pos[idx]
+
+
+class SamAttention(nn.Module):
+    """MHA over a (B, H, W, C) token grid with decomposed rel-pos bias."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    use_rel_pos: bool = True
+    rel_pos_dim: int = 14  # grid side the rel-pos table was sized for
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        scale = hd**-0.5
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, nh, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, nh, hd)
+
+        attn = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale  # (B, nh, N, N)
+
+        if self.use_rel_pos:
+            n_table = 2 * self.rel_pos_dim - 1
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (n_table, hd), jnp.float32
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (n_table, hd), jnp.float32
+            )
+            rh = gather_rel_pos(rel_pos_h, h).astype(jnp.float32)  # (h, h, hd)
+            rw = gather_rel_pos(rel_pos_w, w).astype(jnp.float32)  # (w, w, hd)
+            rq = q.reshape(b, h, w, nh, hd).astype(jnp.float32)
+            # bias[b,n,(i,j),(k,l)] = q·Rh[i,k] + q·Rw[j,l]  (mvitv2 decomposition)
+            bias_h = jnp.einsum("bijnd,ikd->bnijk", rq, rh)  # (B, nh, h, w, h)
+            bias_w = jnp.einsum("bijnd,jld->bnijl", rq, rw)  # (B, nh, h, w, w)
+            attn = attn.reshape(b, nh, h, w, h, w)
+            attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
+            attn = attn.reshape(b, nh, h * w, h * w)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", attn.astype(self.dtype), v,
+            preferred_element_type=self.dtype,
+        )
+        out = out.reshape(b, h, w, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SamBlock(nn.Module):
+    """ViTDet block: LN→(windowed) attention→(+), LN→MLP→(+)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_rel_pos: bool = True
+    window_size: int = 0  # 0 = global attention
+    grid_size: int = 64  # token-grid side at pretrain resolution (img/16)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.window_size > 0:
+            h, w = y.shape[1], y.shape[2]
+            y, pad_hw = window_partition(y, self.window_size)
+        y = SamAttention(
+            self.dim,
+            self.num_heads,
+            qkv_bias=self.qkv_bias,
+            use_rel_pos=self.use_rel_pos,
+            rel_pos_dim=self.window_size if self.window_size > 0 else self.grid_size,
+            dtype=self.dtype,
+            name="attn",
+        )(y)
+        if self.window_size > 0:
+            y = window_unpartition(y, self.window_size, pad_hw, (h, w))
+        x = shortcut + y
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(y)
+        return x + y
+
+
+class SamViT(nn.Module):
+    """SAM image encoder returning (neck-mean feature, neck map, skips).
+
+    Matches `ViTCellViTDeit.forward` (reference utils.py:218-233): skips are
+    raw block outputs in (B, Ht, Wt, C); the neck (1×1 conv → LN2d → 3×3 conv
+    → LN2d, 256 ch) feeds a spatial-mean classifier feature.
+    """
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    out_chans: int = 256
+    patch_size: int = 16
+    pretrain_img_size: int = 1024
+    window_size: int = 14
+    global_attn_indexes: Sequence[int] = ()
+    extract_layers: Sequence[int] = ()
+    use_rel_pos: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array
+    ) -> Tuple[jax.Array, jax.Array, List[jax.Array]]:
+        grid = self.pretrain_img_size // self.patch_size
+        tokens = PatchEmbed(
+            self.embed_dim, self.patch_size, dtype=self.dtype, name="patch_embed"
+        )(x)
+        ht, wt = tokens.shape[1], tokens.shape[2]
+        pos_embed = self.param(
+            "pos_embed", trunc_normal_init, (1, grid, grid, self.embed_dim), jnp.float32
+        )
+        tokens = tokens + pos_embed[:, :ht, :wt, :].astype(tokens.dtype)
+
+        skips: List[jax.Array] = []
+        extract = set(self.extract_layers)
+        for i in range(self.depth):
+            tokens = SamBlock(
+                self.embed_dim,
+                self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                use_rel_pos=self.use_rel_pos,
+                window_size=0 if i in self.global_attn_indexes else self.window_size,
+                grid_size=grid,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(tokens)
+            if (i + 1) in extract:
+                skips.append(tokens)
+
+        y = nn.Conv(
+            self.out_chans, (1, 1), use_bias=False, dtype=self.dtype, name="neck_conv1"
+        )(tokens)
+        y = LayerNorm2d(dtype=self.dtype, name="neck_ln1")(y)
+        y = nn.Conv(
+            self.out_chans,
+            (3, 3),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            name="neck_conv2",
+        )(y)
+        y = LayerNorm2d(dtype=self.dtype, name="neck_ln2")(y)
+        pooled = jnp.mean(y, axis=(1, 2))
+        return pooled, y, skips

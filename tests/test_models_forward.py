@@ -1,0 +1,132 @@
+"""Shape/smoke tests for the model zoo forward passes (CPU).
+
+Tiny configs (embed 64, depth 4, 64×64 inputs) keep CPU runtime in seconds;
+full-size presets are covered by `slow`-marked tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cellvit_tpu.models import CellViT, CellViT256, CellViTSAM
+
+
+def tiny_cellvit(**kw):
+    cfg = dict(
+        num_nuclei_classes=6,
+        num_tissue_classes=19,
+        embed_dim=64,
+        depth=4,
+        num_heads=2,
+        extract_layers=(1, 2, 3, 4),
+        encoder_type="histo",
+    )
+    cfg.update(kw)
+    return CellViT(**cfg)
+
+
+def tiny_sam_cellvit(**kw):
+    cfg = dict(
+        num_nuclei_classes=6,
+        num_tissue_classes=19,
+        embed_dim=64,
+        depth=4,
+        num_heads=2,
+        extract_layers=(1, 2, 3, 4),
+        encoder_type="sam",
+        global_attn_indexes=(1, 3),
+        window_size=2,
+        prompt_embed_dim=32,
+    )
+    cfg.update(kw)
+    return CellViT(**cfg)
+
+
+def _forward(model, x):
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    return variables, out
+
+
+def test_tiny_cellvit_forward_shapes():
+    model = tiny_cellvit()
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    _, out = _forward(model, x)
+    assert out["tissue_types"].shape == (2, 19)
+    assert out["nuclei_binary_map"].shape == (2, 64, 64, 2)
+    assert out["hv_map"].shape == (2, 64, 64, 2)
+    assert out["nuclei_type_map"].shape == (2, 64, 64, 6)
+
+
+def test_tiny_cellvit_regression_and_tokens():
+    model = tiny_cellvit(regression_loss=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False, retrieve_tokens=True)
+    assert out["nuclei_binary_map"].shape == (1, 64, 64, 2)
+    assert out["regression_map"].shape == (1, 64, 64, 2)
+    assert out["tokens"].shape == (1, 4, 4, 64)
+
+
+def test_tiny_sam_cellvit_forward_shapes():
+    model = tiny_sam_cellvit()
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    _, out = _forward(model, x)
+    assert out["tissue_types"].shape == (1, 19)
+    assert out["nuclei_binary_map"].shape == (1, 64, 64, 2)
+    assert out["hv_map"].shape == (1, 64, 64, 2)
+    assert out["nuclei_type_map"].shape == (1, 64, 64, 6)
+
+
+def test_tiny_cellvit_train_mode_batchnorm_mutates():
+    model = tiny_cellvit()
+    x = jnp.ones((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables,
+        x,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert "batch_stats" in mutated
+    leaves_a = jax.tree_util.tree_leaves(variables["batch_stats"])
+    leaves_b = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
+
+
+def test_histo_vit_pos_embed_interpolation():
+    """pos-emb path must handle both pretrain (14×14) and other grids."""
+    from cellvit_tpu.models.vit import HistoViT
+
+    vit = HistoViT(
+        embed_dim=32, depth=1, num_heads=2, extract_layers=(1,),
+        pretrain_img_size=64,
+    )
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = vit.init(jax.random.PRNGKey(0), x, train=False)
+    _, _, skips = vit.apply(variables, x, train=False)
+    assert skips[0].shape == (1, 17, 32)
+    # different input size goes through bicubic interpolation
+    x2 = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    _, _, skips2 = vit.apply(variables, x2, train=False)
+    assert skips2[0].shape == (1, 37, 32)
+
+
+@pytest.mark.slow
+def test_cellvit256_full_forward_shapes():
+    model = CellViT256(num_nuclei_classes=6, num_tissue_classes=19)
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    _, out = _forward(model, x)
+    assert out["nuclei_type_map"].shape == (1, 256, 256, 6)
+
+
+@pytest.mark.slow
+def test_cellvit_sam_b_full_forward_shapes():
+    model = CellViTSAM(
+        num_nuclei_classes=6, num_tissue_classes=19, vit_structure="SAM-B"
+    )
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    _, out = _forward(model, x)
+    assert out["nuclei_type_map"].shape == (1, 256, 256, 6)
