@@ -1,0 +1,147 @@
+"""Connected components, small-object removal, hole filling and morphology
+as jit-compatible XLA ops (single image; vmap over batch).
+
+Replaces the host calls in the reference HV postprocessing
+(`post_proc_cellvit.py:181-245`: scipy.ndimage.label, skimage
+remove_small_objects, scipy binary_fill_holes, cv2.morphologyEx) with
+on-device equivalents so full tile batches never leave HBM.
+
+Connected components use min-label propagation accelerated with pointer
+jumping (label ← label[label]): local 4-neighbor min moves labels one pixel
+per step, the gather-jump doubles the effective path length, giving
+O(log diameter) convergence — the standard data-parallel CC construction.
+Labels are compacted to consecutive 1..N in raster order of component roots,
+which reproduces scipy.ndimage.label's numbering exactly (a root is the
+minimum linear index of its component).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT_MAX = np.iinfo(np.int32).max
+
+
+def _neighbor_min(lab: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    """Min label over the 4-neighborhood, restricted to foreground."""
+    big = jnp.asarray(INT_MAX, lab.dtype)
+    padded = jnp.pad(lab, 1, constant_values=INT_MAX)
+    fg_p = jnp.pad(fg, 1, constant_values=False)
+    out = lab
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nb = padded[1 + dy : 1 + dy + lab.shape[0], 1 + dx : 1 + dx + lab.shape[1]]
+        nb_fg = fg_p[1 + dy : 1 + dy + lab.shape[0], 1 + dx : 1 + dx + lab.shape[1]]
+        out = jnp.minimum(out, jnp.where(nb_fg, nb, big))
+    return jnp.where(fg, out, big)
+
+
+def connected_components(fg: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
+    """4-connected labeling of a bool (H, W) mask → int32 (H, W), background
+    0, components numbered 1..N in scipy raster order."""
+    h, w = fg.shape
+    n = h * w
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    lab = jnp.where(fg, idx, INT_MAX)
+
+    def body(state):
+        lab, _, it = state
+        new = _neighbor_min(lab, fg)
+        # pointer jump: follow the label to its own current label
+        flat = new.reshape(-1)
+        target = flat[jnp.clip(flat, 0, n - 1)]
+        jumped = jnp.minimum(flat, jnp.where(flat < n, target, flat))
+        new = jnp.where(fg, jumped.reshape(h, w), INT_MAX)
+        return new, jnp.any(new != lab), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.asarray(True), 0))
+
+    # one final full path-compression sweep: labels point at roots
+    flat = lab.reshape(-1)
+    for _ in range(2):
+        flat = jnp.where(flat < n, flat[jnp.clip(flat, 0, n - 1)], flat)
+    # compact to consecutive ids in root raster order (scipy numbering)
+    is_root = (flat == jnp.arange(n, dtype=jnp.int32)) & fg.reshape(-1)
+    new_id = jnp.cumsum(is_root.astype(jnp.int32))  # 1-based at roots
+    compact = jnp.where(
+        fg.reshape(-1), new_id[jnp.clip(flat, 0, n - 1)], 0
+    )
+    return compact.reshape(h, w).astype(jnp.int32)
+
+
+def component_sizes(labels: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Pixel count per label id (index 0 = background)."""
+    return jnp.zeros(num_segments, jnp.int32).at[labels.reshape(-1)].add(1)
+
+
+def remove_small_objects(
+    labels: jnp.ndarray, min_size: int, num_segments: int
+) -> jnp.ndarray:
+    """Zero components smaller than min_size (skimage semantics)."""
+    sizes = component_sizes(labels, num_segments)
+    keep = sizes >= min_size
+    return jnp.where(keep[labels], labels, 0)
+
+
+def fill_holes(mask: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
+    """scipy.ndimage.binary_fill_holes: background components that do not
+    touch the border are holes."""
+    bg = ~mask
+    lab = connected_components(bg, max_iters=max_iters)
+    h, w = mask.shape
+    border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    n_seg = h * w // 2 + 2
+    touches = jnp.zeros(n_seg, bool).at[lab.reshape(-1)].max(border.reshape(-1))
+    touches = touches.at[0].set(True)
+    hole = bg & ~touches[lab]
+    return mask | hole
+
+
+# cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5)) pattern
+ELLIPSE_5 = np.array(
+    [
+        [0, 0, 1, 0, 0],
+        [1, 1, 1, 1, 1],
+        [1, 1, 1, 1, 1],
+        [1, 1, 1, 1, 1],
+        [0, 0, 1, 0, 0],
+    ],
+    dtype=bool,
+)
+
+
+def _stencil(mask: jnp.ndarray, se: np.ndarray, op: str) -> jnp.ndarray:
+    """Erode/dilate a bool (H, W) mask with structuring element `se`.
+
+    Border semantics follow cv2 defaults: outside counts as foreground for
+    erosion and background for dilation."""
+    r0, r1 = se.shape[0] // 2, se.shape[1] // 2
+    pad_val = op == "erode"
+    padded = jnp.pad(mask, ((r0, r0), (r1, r1)), constant_values=pad_val)
+    h, w = mask.shape
+    acc = None
+    for dy in range(se.shape[0]):
+        for dx in range(se.shape[1]):
+            if not se[dy, dx]:
+                continue
+            nb = padded[dy : dy + h, dx : dx + w]
+            if acc is None:
+                acc = nb
+            elif op == "erode":
+                acc = acc & nb
+            else:
+                acc = acc | nb
+    return acc
+
+
+def morph_open(mask: jnp.ndarray, se: np.ndarray = ELLIPSE_5) -> jnp.ndarray:
+    """cv2.morphologyEx(MORPH_OPEN): erosion then dilation."""
+    return _stencil(_stencil(mask, se, "erode"), se, "dilate")
