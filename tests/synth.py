@@ -1,0 +1,70 @@
+"""Synthetic dataset fixtures in the reference on-disk formats."""
+
+from pathlib import Path
+
+import numpy as np
+
+TISSUES = ["Breast", "Colon", "Lung"]
+
+
+def random_instance_image(rng, h=64, w=64, n_cells=5, n_types=6):
+    """Random blob nuclei → (rgb uint8, inst_map, type_map)."""
+    img = rng.integers(100, 230, (h, w, 3), dtype=np.uint8)
+    inst = np.zeros((h, w), np.int32)
+    types = np.zeros((h, w), np.int32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    placed = 0
+    for _ in range(n_cells * 3):
+        if placed >= n_cells:
+            break
+        cy, cx = rng.integers(8, h - 8), rng.integers(8, w - 8)
+        r = int(rng.integers(3, 7))
+        sel = ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r) & (inst == 0)
+        if sel.sum() < 6:
+            continue
+        placed += 1
+        inst[sel] = placed
+        types[sel] = int(rng.integers(1, n_types))
+        img[sel] = rng.integers(40, 120, 3, dtype=np.uint8)
+    return img, inst, types
+
+
+def make_pannuke_dataset(root: Path, folds=(0,), n_images=6, seed=0, size=64):
+    """Write a synthetic dataset in PanNuke layout (pannuke.py contract)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    root = Path(root)
+    tissue_counts = {t: 0 for t in TISSUES}
+    for fold in folds:
+        (root / f"fold{fold}" / "images").mkdir(parents=True, exist_ok=True)
+        (root / f"fold{fold}" / "labels").mkdir(parents=True, exist_ok=True)
+        types_rows = ["img,type"]
+        count_rows = ["Image,Neoplastic,Inflammatory,Connective,Dead,Epithelial"]
+        for i in range(n_images):
+            img, inst, typ = random_instance_image(rng, h=size, w=size)
+            name = f"{fold}_{i}"
+            Image.fromarray(img).save(root / f"fold{fold}" / "images" / f"{name}.png")
+            np.save(
+                root / f"fold{fold}" / "labels" / f"{name}.npy",
+                np.array({"inst_map": inst, "type_map": typ}, dtype=object),
+                allow_pickle=True,
+            )
+            tissue = TISSUES[i % len(TISSUES)]
+            tissue_counts[tissue] += 1
+            types_rows.append(f"{name}.png,{tissue}")
+            counts = [
+                int(((typ == c) & (inst > 0)).any()) * int(rng.integers(1, 9))
+                for c in range(1, 6)
+            ]
+            count_rows.append(f"{name}.png," + ",".join(map(str, counts)))
+        (root / f"fold{fold}" / "types.csv").write_text("\n".join(types_rows) + "\n")
+        (root / f"fold{fold}" / "cell_count.csv").write_text(
+            "\n".join(count_rows) + "\n"
+        )
+    import yaml
+
+    (root / "weight_config.yaml").write_text(
+        yaml.safe_dump({"tissue": tissue_counts})
+    )
+    return root
