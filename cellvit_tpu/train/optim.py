@@ -1,0 +1,153 @@
+"""Optimizer registry (optax) and LR schedules.
+
+Mirrors the reference's torch registries: `base_ml/base_optim.py:24-37`
+(OPTI_DICT) and the constant/exponential/cosine schedules of
+`experiment_cellvit_pannuke.py:415-465`. Optimizers are optax gradient
+transforms built from torch-style hyperparameter dicts (lr, betas, eps,
+weight_decay, momentum, …); schedules are per-epoch multipliers evaluated
+from the global step with a static steps_per_epoch, so LR changes stay
+inside the jitted update.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import optax
+
+
+def _betas(kw: Dict) -> tuple:
+    return tuple(kw.get("betas", (0.9, 0.999)))
+
+
+def _adam(kw: Dict) -> optax.GradientTransformation:
+    b1, b2 = _betas(kw)
+    wd = kw.get("weight_decay", 0.0)
+    base = optax.scale_by_adam(b1=b1, b2=b2, eps=kw.get("eps", 1e-8))
+    if wd:
+        # torch Adam's weight_decay is L2 added to the gradient
+        return optax.chain(optax.add_decayed_weights(wd), base)
+    return base
+
+
+def _adamw(kw: Dict) -> optax.GradientTransformation:
+    b1, b2 = _betas(kw)
+    return optax.chain(
+        optax.scale_by_adam(b1=b1, b2=b2, eps=kw.get("eps", 1e-8)),
+        optax.add_decayed_weights(kw.get("weight_decay", 1e-2)),
+    )
+
+
+def _sgd(kw: Dict) -> optax.GradientTransformation:
+    parts = []
+    if kw.get("weight_decay", 0.0):
+        parts.append(optax.add_decayed_weights(kw["weight_decay"]))
+    m = kw.get("momentum", 0.0)
+    if m:
+        parts.append(
+            optax.trace(decay=m, nesterov=kw.get("nesterov", False))
+        )
+    return optax.chain(*parts) if parts else optax.identity()
+
+
+def _rmsprop(kw: Dict) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.scale_by_rms(decay=kw.get("alpha", 0.99), eps=kw.get("eps", 1e-8)),
+        optax.trace(decay=kw.get("momentum", 0.0))
+        if kw.get("momentum", 0.0)
+        else optax.identity(),
+    )
+
+
+def _radam(kw: Dict) -> optax.GradientTransformation:
+    b1, b2 = _betas(kw)
+    return optax.scale_by_radam(b1=b1, b2=b2, eps=kw.get("eps", 1e-8))
+
+
+def _adagrad(kw: Dict) -> optax.GradientTransformation:
+    return optax.scale_by_rss(
+        initial_accumulator_value=kw.get("initial_accumulator_value", 0.0),
+        eps=kw.get("eps", 1e-10),
+    )
+
+
+def _adadelta(kw: Dict) -> optax.GradientTransformation:
+    return optax.contrib.scale_by_adadelta(
+        rho=kw.get("rho", 0.9), eps=kw.get("eps", 1e-6)
+    )
+
+
+def _adamax(kw: Dict) -> optax.GradientTransformation:
+    b1, b2 = _betas(kw)
+    return optax.scale_by_adamax(b1=b1, b2=b2, eps=kw.get("eps", 1e-8))
+
+
+OPTI_DICT: Dict[str, Callable[[Dict], optax.GradientTransformation]] = {
+    "Adadelta": _adadelta,
+    "Adagrad": _adagrad,
+    "Adam": _adam,
+    "AdamW": _adamw,
+    "Adamax": _adamax,
+    "RAdam": _radam,
+    "RMSprop": _rmsprop,
+    "SGD": _sgd,
+}
+
+_UNSUPPORTED = {"SparseAdam", "ASGD", "LBFGS", "Rprop"}
+
+
+def constant_schedule_multiplier(epoch):
+    """The reference's 'constant' schedule: ×1 for 25 epochs, ×0.1 for 25,
+    ×1 for 25, then ×0.1 (experiment_cellvit_pannuke.py:442-452)."""
+    import jax.numpy as jnp
+
+    return jnp.where(
+        epoch < 25, 1.0,
+        jnp.where(epoch < 50, 0.1, jnp.where(epoch < 75, 1.0, 0.1)),
+    )
+
+
+def make_lr_schedule(
+    scheduler_type: str,
+    base_lr: float,
+    epochs: int,
+    steps_per_epoch: int,
+    gamma: float = 0.95,
+    eta_min: float = 1e-5,
+) -> Callable:
+    """step → learning rate; the epoch index is derived from the step so the
+    schedule lives inside jit (the reference steps its scheduler per epoch).
+    """
+    import jax.numpy as jnp
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        t = scheduler_type.lower()
+        if t == "exponential":
+            return base_lr * gamma**epoch
+        if t == "cosine":
+            frac = jnp.minimum(epoch / max(epochs, 1), 1.0)
+            return eta_min + 0.5 * (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * frac))
+        if t == "constant":
+            return base_lr * constant_schedule_multiplier(epoch)
+        return jnp.asarray(base_lr, jnp.float32)
+
+    return schedule
+
+
+def retrieve_optimizer(
+    name: str, hyperparams: Dict, lr_schedule: Callable
+) -> optax.GradientTransformation:
+    """Build `-lr(step) * transform(grads)` for a named optimizer."""
+    if name in _UNSUPPORTED:
+        raise NotImplementedError(
+            f"{name} is not available in the TPU build (no optax equivalent)"
+        )
+    if name not in OPTI_DICT:
+        raise KeyError(f"unknown optimizer {name}; options: {sorted(OPTI_DICT)}")
+    kw = dict(hyperparams)
+    kw.pop("lr", None)
+    return optax.chain(
+        OPTI_DICT[name](kw),
+        optax.scale_by_learning_rate(lr_schedule),
+    )

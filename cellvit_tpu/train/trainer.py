@@ -1,0 +1,377 @@
+"""CellViT trainer: jit-compiled multi-branch training on a device mesh.
+
+Functional replacement for the reference trainer stack
+(`base_ml/base_trainer.py:24-269` + `trainer/trainer_cellvit.py:36-1029`):
+
+* one jitted `train_step` (forward with BatchNorm batch stats, weighted
+  multi-branch loss — trainer_cellvit.py:610-655 semantics —, grads,
+  optax update) compiled per freeze-state; encoder freezing
+  (`unfreeze_epoch`, trainer_cellvit.py:133-135) is gradient masking, not
+  Python-side parameter surgery;
+* batches are sharded over the mesh's data axis; XLA derives the gradient
+  psums from the shardings (SURVEY §2.10 — the reference has no DP at all);
+* validation computes dice/jaccard/tissue-accuracy on device and bPQ via
+  the on-device HV postprocessing + host PQ pairing — the reference ran
+  watershed on CPU inside every step (its acknowledged bottleneck);
+* gradient accumulation via optax.MultiSteps (base_trainer.py:38-39).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from cellvit_tpu.eval import metrics as M
+from cellvit_tpu.ops.hv_postproc import instance_map_batch
+from cellvit_tpu.parallel import mesh as meshlib
+from cellvit_tpu.train.early_stopping import EarlyStopping
+from cellvit_tpu.utils.logger import AverageMeter, MetricLogger
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def prepare_batch(batch: Dict, tissue_map: Dict[str, int]) -> Dict[str, np.ndarray]:
+    """Loader batch → numeric device-ready dict (tissue strings → ids)."""
+    out = {
+        "image": batch["image"],
+        "nuclei_binary_map": batch["masks/nuclei_binary_map"].astype(np.int32),
+        "nuclei_type_map": batch["masks/nuclei_type_map"].astype(np.int32),
+        "hv_map": batch["masks/hv_map"].astype(np.float32),
+        "instance_map": batch["masks/instance_map"].astype(np.int32),
+        "tissue_types": np.array(
+            [tissue_map[t] for t in batch["tissue_types"]], np.int32
+        ),
+    }
+    if "masks/regression_map" in batch:
+        out["regression_map"] = batch["masks/regression_map"].astype(np.float32)
+    if "masks/dist_map" in batch:
+        out["dist_map"] = batch["masks/dist_map"].astype(np.float32)
+    if "masks/stardist_map" in batch:
+        out["stardist_map"] = batch["masks/stardist_map"].astype(np.float32)
+    return out
+
+
+class CellViTTrainer:
+    """Trainer for HoVer-Net-branch CellViT models."""
+
+    def __init__(
+        self,
+        model,
+        loss_fn_dict: Dict[str, Dict[str, Dict]],
+        optimizer: optax.GradientTransformation,
+        num_classes: int,
+        tissue_types: Dict[str, int],
+        mesh=None,
+        magnification: int = 40,
+        accum_steps: int = 1,
+        log_dir: Optional[Path] = None,
+        metric_logger: Optional[MetricLogger] = None,
+        logger=None,
+    ) -> None:
+        self.model = model
+        self.loss_fn_dict = loss_fn_dict
+        self.num_classes = num_classes
+        self.tissue_types = tissue_types
+        self.magnification = magnification
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh()
+        self.log_dir = Path(log_dir) if log_dir else None
+        self.metric_logger = metric_logger
+        self.logger = logger
+        if accum_steps > 1:
+            optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum_steps)
+        self.optimizer = optimizer
+        self._train_step_cache: Dict[bool, Callable] = {}
+        self._eval_step = None
+
+    # ------------------------------------------------------------- state
+
+    def create_state(self, variables: Dict) -> TrainState:
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        repl = meshlib.replicate(self.mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+    # ------------------------------------------------------------- loss
+
+    def unpack_predictions(self, out: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Softmax the NB/NT branches (trainer_cellvit.py:498-516)."""
+        preds = dict(out)
+        preds["nuclei_binary_map"] = jax.nn.softmax(out["nuclei_binary_map"], axis=-1)
+        preds["nuclei_type_map"] = jax.nn.softmax(out["nuclei_type_map"], axis=-1)
+        return preds
+
+    def assemble_gt(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        gt = {
+            "nuclei_binary_map": jax.nn.one_hot(batch["nuclei_binary_map"], 2),
+            "nuclei_type_map": jax.nn.one_hot(
+                batch["nuclei_type_map"], self.num_classes
+            ),
+            "hv_map": batch["hv_map"],
+            "tissue_types": batch["tissue_types"],
+        }
+        if "regression_map" in batch:
+            gt["regression_map"] = batch["regression_map"]
+        return gt
+
+    def calculate_loss(
+        self, preds: Dict[str, jnp.ndarray], gt: Dict[str, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        total = jnp.zeros((), jnp.float32)
+        parts: Dict[str, jnp.ndarray] = {}
+        for branch, branch_losses in self.loss_fn_dict.items():
+            if branch not in preds or branch not in gt:
+                continue
+            for loss_name, setting in branch_losses.items():
+                fn, weight = setting["loss_fn"], setting["weight"]
+                if loss_name == "msge":
+                    value = fn(preds[branch], gt[branch], focus=gt["nuclei_binary_map"])
+                else:
+                    value = fn(preds[branch], gt[branch])
+                parts[f"{branch}_{loss_name}"] = value
+                total = total + weight * value
+        return total, parts
+
+    # ------------------------------------------------------------- steps
+
+    def _freeze_mask(self, grads):
+        """Zero encoder grads except its classifier head
+        (reference CellViT.freeze_encoder, cellvit.py:416-420)."""
+
+        def mask(path, g):
+            names = [getattr(p, "key", str(p)) for p in path]
+            if names and names[0] == "encoder" and (len(names) < 2 or names[1] != "head"):
+                return jnp.zeros_like(g)
+            return g
+
+        return jax.tree_util.tree_map_with_path(mask, grads)
+
+    def _build_train_step(self, freeze_encoder: bool) -> Callable:
+        model, optimizer = self.model, self.optimizer
+
+        def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+            def loss_fn(params):
+                out, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["image"],
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                preds = self.unpack_predictions(out)
+                gt = self.assemble_gt(batch)
+                total, parts = self.calculate_loss(preds, gt)
+                return total, (mutated["batch_stats"], parts, preds)
+
+            (total, (batch_stats, parts, preds)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            if freeze_encoder:
+                grads = self._freeze_mask(grads)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            if freeze_encoder:
+                # also mask the transformed updates: decoupled weight decay
+                # must not touch frozen params (torch skips them entirely)
+                updates = self._freeze_mask(updates)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+            metrics = {"Total_Loss": total, **parts}
+            metrics.update(self._device_metrics(preds, batch))
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _device_metrics(self, preds: Dict, batch: Dict) -> Dict[str, jnp.ndarray]:
+        """Binary dice/jaccard + tissue accuracy (trainer_cellvit.py:657-732)."""
+        pred_bin = jnp.argmax(preds["nuclei_binary_map"], axis=-1)
+        gt_bin = batch["nuclei_binary_map"]
+        inter = jnp.sum((pred_bin == 1) & (gt_bin == 1))
+        pred_n = jnp.sum(pred_bin == 1)
+        gt_n = jnp.sum(gt_bin == 1)
+        dice = (2.0 * inter + 1e-6) / (pred_n + gt_n + 1e-6)
+        jacc = (inter + 1e-6) / (pred_n + gt_n - inter + 1e-6)
+        acc = jnp.mean(
+            (jnp.argmax(preds["tissue_types"], axis=-1) == batch["tissue_types"]).astype(
+                jnp.float32
+            )
+        )
+        return {"dice": dice, "jaccard": jacc, "tissue_acc": acc}
+
+    def train_step(self, state, batch, rng, freeze_encoder: bool):
+        if freeze_encoder not in self._train_step_cache:
+            self._train_step_cache[freeze_encoder] = self._build_train_step(
+                freeze_encoder
+            )
+        return self._train_step_cache[freeze_encoder](state, batch, rng)
+
+    def _build_eval_step(self) -> Callable:
+        model = self.model
+
+        def step_fn(state: TrainState, batch: Dict) -> Tuple[Dict, Dict]:
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=False,
+            )
+            preds = self.unpack_predictions(out)
+            gt = self.assemble_gt(batch)
+            total, parts = self.calculate_loss(preds, gt)
+            metrics = {"Total_Loss": total, **parts}
+            metrics.update(self._device_metrics(preds, batch))
+            return metrics, preds
+
+        return jax.jit(step_fn)
+
+    def eval_step(self, state, batch):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        return self._eval_step(state, batch)
+
+    # ------------------------------------------------------------- epochs
+
+    def train_epoch(
+        self,
+        state: TrainState,
+        loader,
+        epoch: int,
+        unfreeze_epoch: int = 0,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        freeze = epoch < unfreeze_epoch
+        rng = rng if rng is not None else jax.random.PRNGKey(epoch)
+        meters: Dict[str, AverageMeter] = {}
+        for i, raw in enumerate(loader):
+            batch = prepare_batch(raw, self.tissue_types)
+            batch = meshlib.shard_batch(batch, self.mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = self.train_step(state, batch, sub, freeze)
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter(k)).update(float(v))
+        scalars = {k: m.avg for k, m in meters.items()}
+        if self.metric_logger:
+            self.metric_logger.log(
+                {f"Train/{k}": v for k, v in scalars.items()}, step=epoch
+            )
+        return state, scalars
+
+    def validation_epoch(
+        self, state: TrainState, loader, epoch: int, compute_pq: bool = True
+    ) -> Tuple[Dict[str, float], float]:
+        meters: Dict[str, AverageMeter] = {}
+        pq_scores: List[float] = []
+        for raw in loader:
+            batch = prepare_batch(raw, self.tissue_types)
+            inst_gt = batch.pop("instance_map")
+            sharded = meshlib.shard_batch(batch, self.mesh)
+            metrics, preds = self.eval_step(state, sharded)
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter(k)).update(float(v))
+            if compute_pq:
+                pq_scores.extend(self._batch_pq(preds, inst_gt))
+        scalars = {k: m.avg for k, m in meters.items()}
+        mean_pq = float(np.mean(pq_scores)) if pq_scores else 0.0
+        scalars["bPQ"] = mean_pq
+        if self.metric_logger:
+            self.metric_logger.log(
+                {f"Validation/{k}": v for k, v in scalars.items()}, step=epoch
+            )
+        return scalars, mean_pq
+
+    def _batch_pq(self, preds: Dict, inst_gt: np.ndarray) -> List[float]:
+        """Binary PQ per image: device HV postproc → host pairing."""
+        ksize, object_size = (21, 10) if self.magnification == 40 else (11, 3)
+        inst_pred = instance_map_batch(
+            preds["nuclei_binary_map"][..., 1],
+            preds["hv_map"],
+            object_size=object_size,
+            ksize=ksize,
+        )
+        inst_pred = np.asarray(inst_pred)
+        out = []
+        for i in range(inst_pred.shape[0]):
+            true = M.remap_label(np.asarray(inst_gt[i]))
+            pred = M.remap_label(inst_pred[i])
+            [_, _, pq], _ = M.get_fast_pq(true, pred)
+            out.append(pq)
+        return out
+
+    # ------------------------------------------------------------- fit
+
+    def fit(
+        self,
+        state: TrainState,
+        epochs: int,
+        train_loader,
+        val_loader,
+        *,
+        unfreeze_epoch: int = 0,
+        eval_every: int = 1,
+        early_stopping: Optional[EarlyStopping] = None,
+        monitor: str = "bPQ",
+        checkpoint_dir: Optional[Path] = None,
+        seed: int = 0,
+        log_fn: Optional[Callable[[str], None]] = None,
+        start_epoch: int = 0,
+    ) -> TrainState:
+        from cellvit_tpu.train import checkpoint as ckpt
+
+        log = log_fn or (self.logger.info if self.logger else print)
+        rng = jax.random.PRNGKey(seed)
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            rng, sub = jax.random.split(rng)
+            state, train_scalars = self.train_epoch(
+                state, train_loader, epoch, unfreeze_epoch=unfreeze_epoch, rng=sub
+            )
+            log(
+                f"epoch {epoch + 1}/{epochs} "
+                f"loss={train_scalars.get('Total_Loss', float('nan')):.4f} "
+                f"dice={train_scalars.get('dice', float('nan')):.4f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+            if (epoch + 1) % eval_every == 0:
+                val_scalars, _ = self.validation_epoch(state, val_loader, epoch)
+                log(
+                    f"  val loss={val_scalars.get('Total_Loss', float('nan')):.4f} "
+                    f"bPQ={val_scalars.get('bPQ', 0.0):.4f}"
+                )
+                if checkpoint_dir is not None:
+                    ckpt.save_checkpoint(
+                        checkpoint_dir / "latest_checkpoint", state, self, epoch
+                    )
+                if early_stopping is not None:
+                    improved = early_stopping(val_scalars.get(monitor, 0.0), epoch)
+                    if improved and checkpoint_dir is not None:
+                        ckpt.save_checkpoint(
+                            checkpoint_dir / "model_best", state, self, epoch
+                        )
+                    if early_stopping.early_stop:
+                        log(f"early stopping at epoch {epoch + 1}")
+                        break
+            elif checkpoint_dir is not None:
+                ckpt.save_checkpoint(
+                    checkpoint_dir / "latest_checkpoint", state, self, epoch
+                )
+        return state

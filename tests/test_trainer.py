@@ -1,0 +1,169 @@
+"""Trainer integration tests on a tiny model + synthetic PanNuke data."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cellvit_tpu.data.datasets import PanNukeDataset
+from cellvit_tpu.data.loader import DataLoader, RandomSampler
+from cellvit_tpu.data.transforms import build_transforms
+from cellvit_tpu.parallel import make_mesh
+from cellvit_tpu.train import checkpoint as ckpt
+from cellvit_tpu.train.early_stopping import EarlyStopping
+from cellvit_tpu.train.losses import retrieve_loss_fn
+from cellvit_tpu.train.optim import make_lr_schedule, retrieve_optimizer
+from cellvit_tpu.train.trainer import CellViTTrainer, prepare_batch
+from tests.synth import TISSUES, make_pannuke_dataset
+from tests.test_models_forward import tiny_cellvit
+
+DEFAULT_LOSSES = {
+    "nuclei_binary_map": {
+        "bce": {"loss_fn": retrieve_loss_fn("xentropy_loss"), "weight": 1},
+        "dice": {"loss_fn": retrieve_loss_fn("dice_loss"), "weight": 1},
+    },
+    "hv_map": {
+        "mse": {"loss_fn": retrieve_loss_fn("mse_loss_maps"), "weight": 1},
+        "msge": {"loss_fn": retrieve_loss_fn("msge_loss_maps"), "weight": 1},
+    },
+    "nuclei_type_map": {
+        "bce": {"loss_fn": retrieve_loss_fn("xentropy_loss"), "weight": 1},
+        "dice": {"loss_fn": retrieve_loss_fn("dice_loss"), "weight": 1},
+    },
+    "tissue_types": {
+        "ce": {"loss_fn": retrieve_loss_fn("CrossEntropyLoss"), "weight": 1},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = make_pannuke_dataset(
+        tmp_path_factory.mktemp("pannuke_train"), folds=(0,), n_images=8
+    )
+    _, val_tf = build_transforms({}, input_shape=64)
+    ds = PanNukeDataset(root, folds=[0], transforms=val_tf)
+    loader = DataLoader(
+        ds, batch_size=8, sampler=RandomSampler(len(ds), seed=0), num_workers=2,
+        drop_last=True,
+    )
+    model = tiny_cellvit()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    mesh = make_mesh()  # 8 virtual CPU devices on the data axis
+    schedule = make_lr_schedule("constant", 1e-3, epochs=4, steps_per_epoch=1)
+    tx = retrieve_optimizer("AdamW", {"lr": 1e-3, "weight_decay": 1e-4}, schedule)
+    tissue_map = {t: i for i, t in enumerate(TISSUES)}
+    trainer = CellViTTrainer(
+        model=model,
+        loss_fn_dict=DEFAULT_LOSSES,
+        optimizer=tx,
+        num_classes=6,
+        tissue_types=tissue_map,
+        mesh=mesh,
+    )
+    def make_state():
+        return trainer.create_state(jax.tree_util.tree_map(jnp.copy, variables))
+
+    return trainer, make_state, loader
+
+
+def test_train_epoch_runs_and_loss_finite(setup):
+    trainer, make_state, loader = setup
+    state = make_state()
+    state, scalars = trainer.train_epoch(state, loader, epoch=0, unfreeze_epoch=0)
+    assert np.isfinite(scalars["Total_Loss"])
+    assert {"dice", "jaccard", "tissue_acc"} <= set(scalars)
+    assert int(state.step) == len(loader)
+
+
+def test_loss_decreases_over_epochs(setup):
+    trainer, make_state, loader = setup
+    state = make_state()
+    first = None
+    for epoch in range(4):
+        state, scalars = trainer.train_epoch(state, loader, epoch)
+        if first is None:
+            first = scalars["Total_Loss"]
+    assert scalars["Total_Loss"] < first, (first, scalars["Total_Loss"])
+
+
+def test_validation_epoch_with_pq(setup):
+    trainer, make_state, loader = setup
+    state = make_state()
+    scalars, bpq = trainer.validation_epoch(state, loader, epoch=0, compute_pq=True)
+    assert "bPQ" in scalars and 0.0 <= bpq <= 1.0
+    assert np.isfinite(scalars["Total_Loss"])
+
+
+def test_freeze_encoder_keeps_encoder_params(setup):
+    trainer, make_state, loader = setup
+    state = make_state()
+    enc_before = jax.tree_util.tree_map(np.asarray, state.params["encoder"])
+    dec_before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["hv_map_decoder"])[0]
+    ).copy()
+    raw = next(iter(loader))
+    batch = prepare_batch(raw, trainer.tissue_types)
+    new_state, _ = trainer.train_step(
+        state, batch, jax.random.PRNGKey(0), freeze_encoder=True
+    )
+    enc_after = jax.tree_util.tree_map(np.asarray, new_state.params["encoder"])
+    # everything except the classifier head must be untouched
+    for path, a in jax.tree_util.tree_leaves_with_path(enc_before):
+        names = [getattr(p, "key", "") for p in path]
+        b = a
+        node = enc_after
+        for n in names:
+            node = node[n]
+        if names[0] == "head":
+            continue
+        np.testing.assert_array_equal(node, a, err_msg=str(names))
+    # decoders must have moved
+    dec_after = np.asarray(
+        jax.tree_util.tree_leaves(new_state.params["hv_map_decoder"])[0]
+    )
+    assert not np.allclose(dec_before, dec_after)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    trainer, make_state, loader = setup
+    state = make_state()
+    state, _ = trainer.train_epoch(state, loader, epoch=0)
+    ckpt.save_checkpoint(tmp_path / "latest", state, trainer, epoch=0)
+    fresh = trainer.create_state(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    restored, meta = ckpt.load_checkpoint(tmp_path / "latest", fresh)
+    assert meta["epoch"] == 0
+    np.testing.assert_array_equal(
+        np.asarray(restored.step), np.asarray(state.step)
+    )
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2, strategy="maximize")
+    assert es(0.5, 0)
+    assert not es(0.4, 1)
+    assert not es(0.3, 2)
+    assert es.early_stop
+    assert es.best_metric == 0.5 and es.best_epoch == 0
+
+
+def test_lr_schedules():
+    sched = make_lr_schedule("constant", 1.0, epochs=130, steps_per_epoch=10)
+    assert float(sched(0)) == 1.0
+    assert float(sched(25 * 10)) == pytest.approx(0.1)
+    assert float(sched(60 * 10)) == pytest.approx(1.0)
+    assert float(sched(100 * 10)) == pytest.approx(0.1)
+    exp = make_lr_schedule("exponential", 1.0, 130, 1, gamma=0.5)
+    assert float(exp(3)) == pytest.approx(0.125)
+    cos = make_lr_schedule("cosine", 1.0, 100, 1, eta_min=0.0)
+    assert float(cos(0)) == pytest.approx(1.0)
+    assert float(cos(50)) == pytest.approx(0.5, abs=1e-6)
