@@ -1,0 +1,73 @@
+"""Benchmark: WSI-inference throughput (1024² patches/sec/chip).
+
+Runs the BASELINE.json headline configuration — batched 1024×1024 tile
+inference with on-device HV-watershed instance postprocessing — on the
+available accelerator and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+`vs_baseline` is the ratio to an A100 torch reference-pipeline estimate of
+BASELINE_A100_PPS 1024² patches/sec (CellViT-256 forward + the reference's
+GPU-accelerated postprocessing; the reference repo publishes no absolute
+number — this anchor is documented here so the ratio is reproducible).
+The rebuild target is vs_baseline ≥ 3.0.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_A100_PPS = 8.0  # estimated A100 1024² patches/sec, torch reference
+BATCH = 4
+TILE = 1024
+WARMUP = 2
+ITERS = 5
+
+
+def main() -> None:
+    from cellvit_tpu.models import CellViT256
+    from cellvit_tpu.ops.hv_postproc import instance_map_batch
+
+    model = CellViT256(
+        num_nuclei_classes=6, num_tissue_classes=19, dtype=jnp.bfloat16
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (BATCH, TILE, TILE, 3), jnp.float32)
+    variables = model.init(rng, jnp.zeros((1, 256, 256, 3)), train=False)
+
+    @jax.jit
+    def forward(variables, x):
+        out = model.apply(variables, x, train=False)
+        np_prob = jax.nn.softmax(out["nuclei_binary_map"].astype(jnp.float32), -1)
+        inst = instance_map_batch(np_prob[..., 1], out["hv_map"].astype(jnp.float32))
+        # scalar summary fetched to host each iter — forces real completion
+        # (block_until_ready alone is unreliable over the axon tunnel)
+        return jnp.max(inst), jnp.sum(out["nuclei_type_map"].astype(jnp.float32))
+
+    for _ in range(WARMUP):
+        m, s = forward(variables, x)
+        float(m), float(s)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        m, s = forward(variables, x)
+        float(m), float(s)
+    dt = time.perf_counter() - t0
+
+    pps = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "wsi_inference_throughput_1024px",
+                "value": round(pps, 3),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(pps / BASELINE_A100_PPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

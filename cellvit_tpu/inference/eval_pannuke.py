@@ -1,0 +1,313 @@
+"""PanNuke patch evaluation (reference
+`inference/inference_cellvit_experiment_pannuke.py:222-1009`).
+
+Runs test-fold patch inference and computes the full PanNuke metric suite:
+per-image binary dice/jaccard, bPQ/bDQ/bSQ, per-type mPQ/mDQ/mSQ, tissue
+accuracy, and detection F1/precision/recall from globally-paired centroids
+(radius 12 at 40×, 6 at 20× — reference :911-914), plus per-tissue and
+per-nuclei-type tables. Results land in `inference_results.json` with the
+reference's key layout so runs are directly comparable against
+`logs_paper/` fixtures.
+
+Model forward + HV watershed run on device in batches; PQ pairing and
+tables on host over the int32 label maps.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from cellvit_tpu.data.datasets import PanNukeDataset
+from cellvit_tpu.data.loader import DataLoader, SequentialSampler
+from cellvit_tpu.data.transforms import build_transforms
+from cellvit_tpu.eval import metrics as M
+from cellvit_tpu.ops.hv_postproc import instance_map_batch
+from cellvit_tpu.ops.instance_stats import instance_stats_batch, relabel_consecutive
+from cellvit_tpu.utils.logger import Logger
+
+
+def _per_instance_types(
+    inst: np.ndarray, type_map: np.ndarray
+) -> Dict[int, Dict]:
+    """Majority-vote type + centroid per instance (host, vectorized)."""
+    out: Dict[int, Dict] = {}
+    ids = np.unique(inst)
+    for i in ids:
+        if i == 0:
+            continue
+        sel = inst == i
+        ys, xs = np.nonzero(sel)
+        vals, counts = np.unique(type_map[sel], return_counts=True)
+        order = np.argsort(-counts, kind="stable")
+        t = vals[order][0]
+        if t == 0 and len(vals) > 1:
+            t = vals[order][1]
+        out[int(i)] = {
+            "centroid": np.array([xs.mean(), ys.mean()]),
+            "type": int(t),
+        }
+    return out
+
+
+class InferenceCellViT:
+    """Patch-inference evaluator over a training run directory."""
+
+    def __init__(
+        self,
+        run_dir: Union[str, Path],
+        checkpoint_name: str = "latest_checkpoint",
+        magnification: int = 40,
+        batch_size: int = 32,
+    ) -> None:
+        self.run_dir = Path(run_dir)
+        self.checkpoint_name = checkpoint_name
+        self.magnification = magnification
+        self.batch_size = batch_size
+        self.logger = Logger(level="INFO", log_dir=self.run_dir, comment="inference").create_logger()
+
+        with open(self.run_dir / "config.yaml") as f:
+            self.run_conf = yaml.safe_load(f)
+        dataset_path = Path(self.run_conf["data"]["dataset_path"])
+        with open(dataset_path / "dataset_config.yaml") as f:
+            self.dataset_config = yaml.safe_load(f)
+        self.num_classes = self.run_conf["data"]["num_nuclei_classes"]
+
+        self._build_model()
+
+    def _build_model(self) -> None:
+        from cellvit_tpu.train import checkpoint as ckpt
+        from cellvit_tpu.train.experiment import ExperimentCellVitPanNuke
+
+        exp = ExperimentCellVitPanNuke.__new__(ExperimentCellVitPanNuke)
+        exp.run_conf = self.run_conf
+        exp.dataset_config = self.dataset_config
+        self.model = exp.get_train_model()
+        input_shape = self.run_conf["data"].get("input_shape", 256)
+        variables = self.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, input_shape, input_shape, 3)),
+            train=False,
+        )
+        ckpt_path = self.run_dir / "checkpoints" / self.checkpoint_name
+        if ckpt_path.with_suffix(".msgpack").exists():
+            from flax import serialization
+
+            payload = serialization.msgpack_restore(
+                ckpt_path.with_suffix(".msgpack").read_bytes()
+            )
+            self.variables = {
+                "params": payload["params"],
+                "batch_stats": payload["batch_stats"],
+            }
+        else:  # torch-format checkpoint in the run dir
+            from cellvit_tpu.models.checkpoint_io import load_checkpoint
+
+            _, self.variables, _ = load_checkpoint(str(ckpt_path))
+
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+
+    # --------------------------------------------------------------- data
+
+    def setup_patch_inference(self) -> DataLoader:
+        data = self.run_conf["data"]
+        folds = data.get("test_folds") or data.get("val_folds")
+        _, val_tf = build_transforms(
+            self.run_conf.get("transformations", {}),
+            input_shape=data.get("input_shape", 256),
+        )
+        ds = PanNukeDataset(
+            data["dataset_path"], folds=folds, transforms=val_tf
+        )
+        return DataLoader(
+            ds, batch_size=self.batch_size,
+            sampler=SequentialSampler(len(ds)), num_workers=8,
+        )
+
+    # --------------------------------------------------------------- run
+
+    def run_patch_inference(self, loader: Optional[DataLoader] = None) -> Dict:
+        loader = loader or self.setup_patch_inference()
+        tissue_map = self.dataset_config["tissue_types"]
+        ksize, object_size = (21, 10) if self.magnification == 40 else (11, 3)
+
+        binary_dice, binary_jacc = [], []
+        pq_s, dq_s, sq_s = [], [], []
+        type_pq, type_dq, type_sq = [], [], []
+        tissue_pred_all, tissue_gt_all, tissue_str = [], [], []
+        paired_types: List[Tuple[int, int]] = []
+        unpaired_true_types: List[int] = []
+        unpaired_pred_types: List[int] = []
+        radius = 12 if self.magnification == 40 else 6
+
+        for raw in loader:
+            imgs = jnp.asarray(raw["image"])
+            out = self._forward(self.variables, imgs)
+            np_prob = jax.nn.softmax(out["nuclei_binary_map"].astype(jnp.float32), -1)
+            nt_prob = jax.nn.softmax(out["nuclei_type_map"].astype(jnp.float32), -1)
+            inst = instance_map_batch(
+                np_prob[..., 1], out["hv_map"].astype(jnp.float32),
+                object_size=object_size, ksize=ksize,
+            )
+            inst_np = np.asarray(inst)
+            nt_argmax = np.asarray(jnp.argmax(nt_prob, -1))
+            np_argmax = np.asarray(jnp.argmax(np_prob, -1))
+            tt_pred = np.asarray(jnp.argmax(out["tissue_types"], -1))
+
+            gt_inst = raw["masks/instance_map"].astype(np.int32)
+            gt_type = raw["masks/nuclei_type_map"].astype(np.int32)
+            gt_bin = raw["masks/nuclei_binary_map"].astype(np.int32)
+            tissue_gt = np.array([tissue_map[t] for t in raw["tissue_types"]])
+
+            for i in range(inst_np.shape[0]):
+                pred_bin = np_argmax[i]
+                inter = ((pred_bin == 1) & (gt_bin[i] == 1)).sum()
+                p_n, g_n = (pred_bin == 1).sum(), (gt_bin[i] == 1).sum()
+                binary_dice.append(
+                    float(2 * inter / (p_n + g_n)) if (p_n + g_n) else np.nan
+                )
+                union = p_n + g_n - inter
+                binary_jacc.append(float(inter / union) if union else np.nan)
+
+                pred_types_of_inst = _per_instance_types(inst_np[i], nt_argmax[i])
+                gt_types_of_inst = _per_instance_types(gt_inst[i], gt_type[i])
+
+                # binary PQ (nan when GT empty — reference :846-856)
+                if len(np.unique(gt_inst[i])) == 1:
+                    dq = sq = pq = np.nan
+                else:
+                    [dq, sq, pq], _ = M.get_fast_pq(
+                        M.remap_label(gt_inst[i]), M.remap_label(inst_np[i])
+                    )
+                pq_s.append(pq), dq_s.append(dq), sq_s.append(sq)
+
+                # per-class PQ over type-restricted instance maps
+                t_pq, t_dq, t_sq = [], [], []
+                for j in range(self.num_classes):
+                    pred_j = np.where(
+                        np.isin(
+                            inst_np[i],
+                            [k for k, v in pred_types_of_inst.items() if v["type"] == j],
+                        ),
+                        inst_np[i],
+                        0,
+                    )
+                    gt_j = np.where(gt_type[i] == j, gt_inst[i], 0)
+                    if len(np.unique(gt_j)) == 1:
+                        vals = (np.nan, np.nan, np.nan)
+                    else:
+                        [d_, s_, p_], _ = M.get_fast_pq(
+                            M.remap_label(pred_j), M.remap_label(gt_j)
+                        )
+                        vals = (d_, s_, p_)
+                    t_dq.append(vals[0]), t_sq.append(vals[1]), t_pq.append(vals[2])
+                type_pq.append(t_pq), type_dq.append(t_dq), type_sq.append(t_sq)
+
+                # detection pairing
+                tc = np.array(
+                    [v["centroid"] for v in gt_types_of_inst.values()]
+                ) if gt_types_of_inst else np.array([[0, 0]])
+                tt = np.array(
+                    [v["type"] for v in gt_types_of_inst.values()]
+                ) if gt_types_of_inst else np.array([0])
+                pc = np.array(
+                    [v["centroid"] for v in pred_types_of_inst.values()]
+                ) if pred_types_of_inst else np.array([[0, 0]])
+                pt = np.array(
+                    [v["type"] for v in pred_types_of_inst.values()]
+                ) if pred_types_of_inst else np.array([0])
+                paired, unp_t, unp_p = M.pair_coordinates(tc, pc, radius)
+                for a, b in paired:
+                    paired_types.append((int(tt[a]), int(pt[b])))
+                unpaired_true_types.extend(tt[unp_t].tolist())
+                unpaired_pred_types.extend(pt[unp_p].tolist())
+
+            tissue_pred_all.extend(tt_pred.tolist())
+            tissue_gt_all.extend(tissue_gt.tolist())
+            tissue_str.extend([t.lower() for t in raw["tissue_types"]])
+
+        # ------------------------------------------------- aggregation
+        paired_true_t = np.array([a for a, _ in paired_types])
+        paired_pred_t = np.array([b for _, b in paired_types])
+        unp_true_t = np.array(unpaired_true_types)
+        unp_pred_t = np.array(unpaired_pred_types)
+        f1_d, prec_d, rec_d = M.cell_detection_scores(
+            paired_true_t, paired_pred_t, unp_true_t, unp_pred_t
+        )
+        tissue_acc = float(
+            np.mean(np.array(tissue_pred_all) == np.array(tissue_gt_all))
+        )
+        binary_dice = np.array(binary_dice)
+        binary_jacc = np.array(binary_jacc)
+        pq_arr = np.array(pq_s)
+
+        dataset_metrics = {
+            "Binary-Cell-Dice-Mean": float(np.nanmean(binary_dice)),
+            "Binary-Cell-Jacard-Mean": float(np.nanmean(binary_jacc)),
+            "Tissue-Multiclass-Accuracy": tissue_acc,
+            "bPQ": float(np.nanmean(pq_arr)),
+            "bDQ": float(np.nanmean(dq_s)),
+            "bSQ": float(np.nanmean(sq_s)),
+            "mPQ": float(np.nanmean([np.nanmean(p[1:]) for p in type_pq])),
+            "mDQ": float(np.nanmean([np.nanmean(p[1:]) for p in type_dq])),
+            "mSQ": float(np.nanmean([np.nanmean(p[1:]) for p in type_sq])),
+            "f1_detection": float(f1_d),
+            "precision_detection": float(prec_d),
+            "recall_detection": float(rec_d),
+        }
+
+        tissue_metrics = {}
+        tissue_arr = np.asarray(tissue_str)
+        for tissue in self.dataset_config["tissue_types"]:
+            sel = tissue_arr == tissue.lower()
+            if not sel.any():
+                continue
+            tissue_metrics[tissue.lower()] = {
+                "Dice": float(np.nanmean(binary_dice[sel])),
+                "Jaccard": float(np.nanmean(binary_jacc[sel])),
+                "bPQ": float(np.nanmean(pq_arr[sel])),
+                "mPQ": float(
+                    np.nanmean(
+                        [np.nanmean(p[1:]) for p, s in zip(type_pq, sel) if s]
+                    )
+                ),
+            }
+
+        nuclei_metrics = {}
+        for name, j in self.dataset_config["nuclei_types"].items():
+            if j == 0:
+                continue
+            scores = np.array([p[j] for p in type_pq])
+            f1, prec, rec = M.cell_type_detection_scores(
+                paired_true_t, paired_pred_t, unp_true_t, unp_pred_t, j
+            )
+            nuclei_metrics[name] = {
+                "PQ": float(np.nanmean(scores)),
+                "f1": float(f1),
+                "precision": float(prec),
+                "recall": float(rec),
+            }
+
+        results = {
+            "dataset": dataset_metrics,
+            "tissue_metrics": tissue_metrics,
+            "nuclei_metrics_pq": {
+                k: v["PQ"] for k, v in nuclei_metrics.items()
+            },
+            "nuclei_metrics_d": {
+                k: {m: v[m] for m in ("f1", "precision", "recall")}
+                for k, v in nuclei_metrics.items()
+            },
+        }
+        out_path = self.run_dir / "inference_results.json"
+        out_path.write_text(json.dumps(results, indent=2))
+        self.logger.info(f"wrote {out_path}")
+        self.logger.info(json.dumps(dataset_metrics, indent=2))
+        return results

@@ -67,6 +67,17 @@ def shard_batch(batch: Pytree, mesh: Mesh) -> Pytree:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_or_place(batch: Pytree, mesh: Mesh) -> Pytree:
+    """`shard_batch` when the leading axis divides the data axis; otherwise
+    place the batch unsharded on the default device (ragged validation
+    tails recompile once for their shape instead of crashing)."""
+    n_data = mesh.shape["data"]
+    lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if lead % n_data == 0:
+        return shard_batch(batch, mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x)), batch)
+
+
 def pad_batch_to(batch: Pytree, size: int) -> Pytree:
     """Right-pad the leading axis of every leaf to `size` (static batch
     shapes for jit; use a mask to ignore padded rows)."""

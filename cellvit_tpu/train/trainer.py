@@ -264,7 +264,7 @@ class CellViTTrainer:
         meters: Dict[str, AverageMeter] = {}
         for i, raw in enumerate(loader):
             batch = prepare_batch(raw, self.tissue_types)
-            batch = meshlib.shard_batch(batch, self.mesh)
+            batch = meshlib.shard_or_place(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, batch, sub, freeze)
             for k, v in metrics.items():
@@ -284,7 +284,7 @@ class CellViTTrainer:
         for raw in loader:
             batch = prepare_batch(raw, self.tissue_types)
             inst_gt = batch.pop("instance_map")
-            sharded = meshlib.shard_batch(batch, self.mesh)
+            sharded = meshlib.shard_or_place(batch, self.mesh)
             metrics, preds = self.eval_step(state, sharded)
             for k, v in metrics.items():
                 meters.setdefault(k, AverageMeter(k)).update(float(v))

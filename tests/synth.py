@@ -67,4 +67,19 @@ def make_pannuke_dataset(root: Path, folds=(0,), n_images=6, seed=0, size=64):
     (root / "weight_config.yaml").write_text(
         yaml.safe_dump({"tissue": tissue_counts})
     )
+    (root / "dataset_config.yaml").write_text(
+        yaml.safe_dump(
+            {
+                "tissue_types": {t: i for i, t in enumerate(TISSUES)},
+                "nuclei_types": {
+                    "Background": 0,
+                    "Neoplastic": 1,
+                    "Inflammatory": 2,
+                    "Connective": 3,
+                    "Dead": 4,
+                    "Epithelial": 5,
+                },
+            }
+        )
+    )
     return root

@@ -1,0 +1,115 @@
+"""End-to-end experiment test: config → train → eval → inference_results.json."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.synth import make_pannuke_dataset
+
+
+def make_config(dataset_path: Path, log_dir: Path) -> dict:
+    return {
+        "logging": {
+            "mode": "offline",
+            "log_dir": str(log_dir),
+            "log_comment": "e2e",
+            "level": "INFO",
+        },
+        "random_seed": 19,
+        "gpu": 0,
+        "data": {
+            "dataset": "PanNuke",
+            "dataset_path": str(dataset_path),
+            "train_folds": [0],
+            "val_folds": [1],
+            "test_folds": [1],
+            "num_nuclei_classes": 6,
+            "input_shape": 64,
+            "magnification": 40,
+        },
+        "model": {
+            "backbone": "default",
+            "embed_dim": 32,
+            "depth": 4,
+            "num_heads": 2,
+            "extract_layers": [1, 2, 3, 4],
+        },
+        "loss": {},
+        "training": {
+            "batch_size": 4,
+            "epochs": 2,
+            "unfreeze_epoch": 1,
+            "optimizer": "AdamW",
+            "optimizer_hyperparameter": {"lr": 1e-3},
+            "early_stopping_patience": 10,
+            "scheduler": {"scheduler_type": "cosine"},
+            "sampling_strategy": "cell+tissue",
+            "sampling_gamma": 0.85,
+            "eval_every": 1,
+        },
+        "transformations": {
+            "randomrotate90": {"p": 0.5},
+            "horizontalflip": {"p": 0.5},
+            "normalize": {"mean": [0.5, 0.5, 0.5], "std": [0.5, 0.5, 0.5]},
+        },
+        "eval_checkpoint": "latest_checkpoint",
+    }
+
+
+@pytest.fixture(scope="module")
+def e2e_run(tmp_path_factory):
+    from cellvit_tpu.train.experiment import ExperimentCellVitPanNuke
+
+    root = make_pannuke_dataset(
+        tmp_path_factory.mktemp("pannuke_e2e"), folds=(0, 1), n_images=6
+    )
+    log_dir = tmp_path_factory.mktemp("runs")
+    config = make_config(root, log_dir)
+    experiment = ExperimentCellVitPanNuke(config)
+    run_dir, model, trainer, state = experiment.run_experiment()
+    return config, run_dir, model, trainer, state
+
+
+def test_experiment_produces_artifacts(e2e_run):
+    _, run_dir, *_ = e2e_run
+    assert (run_dir / "config.yaml").exists()
+    assert (run_dir / "metrics.jsonl").exists()
+    assert (run_dir / "checkpoints" / "latest_checkpoint.msgpack").exists()
+    lines = (run_dir / "metrics.jsonl").read_text().strip().splitlines()
+    records = [json.loads(l) for l in lines]
+    assert any("Train/Total_Loss" in r for r in records)
+    assert any("Validation/bPQ" in r for r in records)
+
+
+def test_patch_inference_writes_results(e2e_run):
+    from cellvit_tpu.inference.eval_pannuke import InferenceCellViT
+
+    _, run_dir, *_ = e2e_run
+    inf = InferenceCellViT(run_dir, checkpoint_name="latest_checkpoint",
+                           batch_size=6)
+    results = inf.run_patch_inference()
+    assert (run_dir / "inference_results.json").exists()
+    d = results["dataset"]
+    for key in ("bPQ", "mPQ", "f1_detection", "Tissue-Multiclass-Accuracy"):
+        assert key in d
+        assert np.isnan(d[key]) or 0.0 <= d[key] <= 1.0
+    assert set(results["nuclei_metrics_pq"]) == {
+        "Neoplastic", "Inflammatory", "Connective", "Dead", "Epithelial",
+    }
+
+
+def test_resume_from_checkpoint(e2e_run, tmp_path):
+    from cellvit_tpu.train.experiment import ExperimentCellVitPanNuke
+
+    config, run_dir, *_ = e2e_run
+    config = json.loads(json.dumps(config))  # deep copy
+    config["training"]["epochs"] = 3
+    config["logging"]["log_dir"] = str(tmp_path)
+    experiment = ExperimentCellVitPanNuke(
+        config, checkpoint=str(run_dir / "checkpoints" / "latest_checkpoint")
+    )
+    run_dir2, _, _, state = experiment.run_experiment()
+    # resumed at epoch 2 (after 0,1) and trained one more
+    assert int(state.step) > 0
