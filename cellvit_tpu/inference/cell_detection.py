@@ -1,0 +1,319 @@
+"""WSI cell detection: tile stream → device forward+postproc → dedup →
+cells.json / GeoJSON / cell graph.
+
+Equivalent of the reference `cell_segmentation/inference/cell_detection.py`
+(CellSegmentationInference:92-598 + writers): processes a preprocessed WSI
+(1024² patches, 64 px overlap) through the model, runs the HV→instance
+watershed and the per-instance statistics on device, extracts contours on
+host, converts to global slide coordinates with the reference's formula
+(:343-350), attaches margin codes 0-8 / edge-neighbor lists, deduplicates
+across tiles, and writes `cells.json`, `cell_detection.json`, optional
+QuPath `.geojson` files and the `cells.pt` token graph.
+
+Key TPU-side difference from the reference: postprocessing is part of the
+jitted device computation (the reference syncs every batch to CPU for
+cv2/scipy watershed — its documented bottleneck, README:56).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from cellvit_tpu.data.loader import DataLoader, SequentialSampler
+from cellvit_tpu.data.wsi import WSI, PatchedWSIInference
+from cellvit_tpu.inference import dedup as dd
+from cellvit_tpu.inference.geojson_export import convert_geojson
+from cellvit_tpu.ops.hv_postproc import instance_map_batch
+from cellvit_tpu.ops.instance_stats import (
+    contours_from_instance_map,
+    instance_stats_batch,
+    relabel_consecutive,
+)
+from cellvit_tpu.utils.logger import Logger
+
+
+@dataclass
+class CellGraphDataWSI:
+    """Cell-token graph (reference datamodel/cell_graph_datamodel.py:18-26)."""
+
+    x: object  # (N, E) tokens
+    positions: object  # (N, 2)
+    contours: List
+    metadata: Dict = field(default_factory=dict)
+
+
+class CellSegmentationInference:
+    """WSI inference driver.
+
+    Args:
+        model_path: reference-format torch `.pth` checkpoint, OR
+        run_dir: a cellvit_tpu training run directory (native checkpoint).
+    """
+
+    def __init__(
+        self,
+        model_path: Optional[Union[str, Path]] = None,
+        run_dir: Optional[Union[str, Path]] = None,
+        checkpoint_name: str = "latest_checkpoint",
+        batch_size: int = 8,
+        mixed_precision: bool = False,
+        max_instances_per_tile: int = 2048,
+        logger=None,
+    ) -> None:
+        self.batch_size = batch_size
+        self.max_instances = max_instances_per_tile
+        self.logger = logger or Logger(level="INFO").create_logger()
+
+        if model_path is not None:
+            from cellvit_tpu.models.checkpoint_io import load_checkpoint
+
+            self.model, self.variables, self.run_conf = load_checkpoint(
+                str(model_path)
+            )
+        elif run_dir is not None:
+            from cellvit_tpu.inference.eval_pannuke import InferenceCellViT
+
+            helper = InferenceCellViT(run_dir, checkpoint_name=checkpoint_name)
+            self.model, self.variables = helper.model, helper.variables
+            self.run_conf = helper.run_conf
+        else:
+            raise ValueError("provide model_path or run_dir")
+
+        norm = (self.run_conf.get("transformations") or {}).get("normalize", {})
+        self.mean = np.asarray(norm.get("mean", (0.5, 0.5, 0.5)), np.float32)
+        self.std = np.asarray(norm.get("std", (0.5, 0.5, 0.5)), np.float32)
+        self.num_nuclei_classes = self.run_conf["data"]["num_nuclei_classes"]
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False, retrieve_tokens=True)
+        )
+
+    # ----------------------------------------------------------- checks
+
+    def check_wsi(self, wsi: WSI, magnification: float = 40.0) -> None:
+        """Sanity checks (reference cell_detection.py:1009-1039)."""
+        if wsi.metadata["magnification"] is not None:
+            patch_mag = float(wsi.metadata["magnification"])
+        else:
+            patch_mag = float(wsi.metadata["base_magnification"]) / float(
+                wsi.metadata["downsampling"]
+            )
+        if patch_mag != float(magnification):
+            raise RuntimeError(
+                f"magnification mismatch: patches at {patch_mag}, "
+                f"requested {magnification}"
+            )
+        if int(wsi.metadata["patch_size"]) != 1024:
+            raise RuntimeError("patch size must be 1024")
+        if int(wsi.metadata["patch_overlap"]) != 64:
+            raise RuntimeError("patch overlap must be 64")
+
+    # ----------------------------------------------------------- core
+
+    def _predict_batch(
+        self, imgs: np.ndarray, magnification: float
+    ) -> Tuple[List[Dict[int, Dict]], np.ndarray]:
+        """Forward + on-device postproc for a (B, H, W, 3) [0,1] batch.
+
+        Returns per-patch instance dicts (bbox/centroid/contour/type/
+        type_prob — reference `get_cell_predictions_with_tokens`,
+        cell_detection.py:485-514) and the (B, Ht, Wt, E) token maps.
+        """
+        x = (imgs - self.mean) / self.std
+        out = self._forward(self.variables, jnp.asarray(x))
+        np_prob = jax.nn.softmax(out["nuclei_binary_map"].astype(jnp.float32), -1)
+        nt_prob = jax.nn.softmax(out["nuclei_type_map"].astype(jnp.float32), -1)
+        ksize, object_size = (21, 10) if magnification == 40 else (11, 3)
+        inst = instance_map_batch(
+            np_prob[..., 1], out["hv_map"].astype(jnp.float32),
+            object_size=object_size, ksize=ksize,
+        )
+        h, w = inst.shape[1], inst.shape[2]
+        inst = jax.vmap(lambda m: relabel_consecutive(m, h * w // 2 + 2))(inst)
+        type_map = jnp.argmax(nt_prob, -1).astype(jnp.int32)
+        stats = instance_stats_batch(
+            inst, type_map, np_prob[..., 1],
+            max_instances=self.max_instances,
+            num_classes=self.num_nuclei_classes,
+        )
+        inst_np = np.asarray(inst)
+        stats = jax.tree_util.tree_map(np.asarray, stats)
+        tokens = np.asarray(out["tokens"], np.float32)
+
+        batch_instances: List[Dict[int, Dict]] = []
+        for i in range(inst_np.shape[0]):
+            contours = contours_from_instance_map(inst_np[i])
+            info: Dict[int, Dict] = {}
+            for inst_id, contour in contours.items():
+                k = inst_id - 1
+                if not stats["valid"][i, k]:
+                    continue
+                r0, r1, c0, c1 = stats["bbox"][i, k]
+                info[inst_id] = {
+                    "bbox": np.array([[r0, c0], [r1, c1]]),
+                    "centroid": stats["centroid"][i, k],
+                    "contour": contour,
+                    "type_prob": float(stats["type_prob"][i, k]),
+                    "type": int(stats["type"][i, k]),
+                }
+            batch_instances.append(info)
+        return batch_instances, tokens
+
+    def process_wsi(
+        self,
+        wsi: WSI,
+        subdir_name: Optional[str] = None,
+        patch_size: int = 1024,
+        overlap: int = 64,
+        geojson: bool = False,
+        magnification: Optional[float] = None,
+    ) -> Path:
+        """Process one preprocessed WSI; returns the output directory."""
+        self.logger.info(f"processing WSI {wsi.name}")
+        if magnification is None:
+            magnification = wsi.metadata.get("magnification") or 40
+        dataset = PatchedWSIInference(wsi)
+        loader = DataLoader(
+            dataset,
+            batch_size=self.batch_size,
+            sampler=SequentialSampler(len(dataset)),
+            num_workers=8,
+            collate_fn=PatchedWSIInference.collate_batch,
+        )
+        nuclei_types = {"Background": 0}
+        type_names = {}
+        from cellvit_tpu.inference.geojson_export import TYPE_NUCLEI_DICT
+
+        type_names = TYPE_NUCLEI_DICT
+        nuclei_types.update({v: k for k, v in TYPE_NUCLEI_DICT.items()})
+
+        cell_dict_wsi: List[Dict] = []
+        cell_dict_detection: List[Dict] = []
+        graph_tokens: List[np.ndarray] = []
+        graph_positions: List[np.ndarray] = []
+        graph_contours: List[np.ndarray] = []
+        processed_patches: List[str] = []
+
+        scaling = wsi.metadata["downsampling"]
+        token_patch = self.model.patch_size
+
+        for imgs, metadata in loader:
+            batch_instances, tokens = self._predict_batch(imgs, magnification)
+            for idx, (instances, patch_meta) in enumerate(
+                zip(batch_instances, metadata)
+            ):
+                row, col = patch_meta["row"], patch_meta["col"]
+                processed_patches.append(f"{row}_{col}")
+                x_global = int(row * patch_size * scaling - (row + 0.5) * overlap)
+                y_global = int(col * patch_size * scaling - (col + 0.5) * overlap)
+                offset_global = np.array([x_global, y_global])
+                for cell in instances.values():
+                    if cell["type"] == 0:
+                        continue
+                    centroid_global = cell["centroid"] + np.flip(offset_global)
+                    contour_global = cell["contour"] + np.flip(offset_global)
+                    bbox_global = cell["bbox"] + offset_global
+                    cell_dict = {
+                        "bbox": bbox_global.tolist(),
+                        "centroid": centroid_global.tolist(),
+                        "contour": contour_global.tolist(),
+                        "type_prob": cell["type_prob"],
+                        "type": cell["type"],
+                        "patch_coordinates": [row, col],
+                        "cell_status": dd.get_cell_position_margin(
+                            cell["bbox"], patch_size, overlap
+                        ),
+                        "offset_global": offset_global.tolist(),
+                    }
+                    if (
+                        np.max(cell["bbox"]) == patch_size
+                        or np.min(cell["bbox"]) == 0
+                    ):
+                        position = dd.get_cell_position(cell["bbox"], patch_size)
+                        cell_dict["edge_position"] = True
+                        cell_dict["edge_information"] = {
+                            "position": position,
+                            "edge_patches": dd.get_edge_patch(position, row, col),
+                        }
+                    else:
+                        cell_dict["edge_position"] = False
+                    cell_dict_wsi.append(cell_dict)
+                    cell_dict_detection.append(
+                        {
+                            "bbox": bbox_global.tolist(),
+                            "centroid": centroid_global.tolist(),
+                            "type": cell["type"],
+                        }
+                    )
+                    # ViT-token crop mean over the cell bbox (:397-413)
+                    bb = cell["bbox"].astype(np.float64) / token_patch
+                    r0, c0 = np.floor(bb[0]).astype(int)
+                    r1, c1 = np.ceil(bb[1]).astype(int)
+                    crop = tokens[idx, r0 : max(r1, r0 + 1), c0 : max(c1, c0 + 1)]
+                    graph_tokens.append(crop.reshape(-1, crop.shape[-1]).mean(0))
+                    graph_positions.append(centroid_global)
+                    graph_contours.append(contour_global)
+
+        self.logger.info(f"detected cells before cleaning: {len(cell_dict_wsi)}")
+        keep_idx = dd.CellPostProcessor(cell_dict_wsi, self.logger).post_process_cells()
+        cell_dict_wsi = [cell_dict_wsi[i] for i in keep_idx]
+        cell_dict_detection = [cell_dict_detection[i] for i in keep_idx]
+        graph_tokens = [graph_tokens[i] for i in keep_idx]
+        graph_positions = [graph_positions[i] for i in keep_idx]
+        graph_contours = [graph_contours[i] for i in keep_idx]
+        self.logger.info(f"detected cells after cleaning: {len(keep_idx)}")
+
+        outdir = wsi.patched_slide_path / "cell_detection"
+        if subdir_name:
+            outdir = outdir / subdir_name
+        outdir.mkdir(parents=True, exist_ok=True)
+
+        payload = {
+            "wsi_metadata": wsi.metadata,
+            "processed_patches": processed_patches,
+            "type_map": nuclei_types,
+            "cells": cell_dict_wsi,
+        }
+        (outdir / "cells.json").write_text(json.dumps(payload, indent=2))
+        det_payload = dict(payload)
+        det_payload["cells"] = cell_dict_detection
+        (outdir / "cell_detection.json").write_text(
+            json.dumps(det_payload, indent=2)
+        )
+        if geojson:
+            (outdir / "cells.geojson").write_text(
+                json.dumps(convert_geojson(cell_dict_wsi, True, type_names), indent=2)
+            )
+            (outdir / "cell_detection.geojson").write_text(
+                json.dumps(convert_geojson(cell_dict_wsi, False, type_names), indent=2)
+            )
+
+        try:
+            import torch
+
+            graph = CellGraphDataWSI(
+                x=torch.from_numpy(np.stack(graph_tokens))
+                if graph_tokens
+                else torch.zeros((0, 1)),
+                positions=torch.from_numpy(np.stack(graph_positions))
+                if graph_positions
+                else torch.zeros((0, 2)),
+                contours=[torch.from_numpy(np.asarray(c)) for c in graph_contours],
+                metadata={
+                    "wsi_metadata": wsi.metadata,
+                    "nuclei_types": nuclei_types,
+                },
+            )
+            torch.save(graph, outdir / "cells.pt")
+        except ImportError:
+            self.logger.warning("torch unavailable — skipping cells.pt graph")
+
+        self.logger.info(f"results written to {outdir}")
+        return outdir

@@ -1,0 +1,297 @@
+"""WSI → patch-dataset extraction pipeline.
+
+Equivalent of the reference PreProcessor
+(`preprocessing/patch_extraction/src/patch_extraction.py:307-972` +
+`src/storage.py`): per slide, select the pyramid level for the requested
+target_mpp/magnification/downsample, build a thumbnail tissue mask (Otsu,
+optional pen-marker prefilter), keep grid patches above the tissue
+intersection ratio (`compute_interesting_patches`, patch_util.py:288-525),
+extract the overlapping tiles through the native libtiff reader with a
+thread pool (one reader handle per worker — replaces the CuCIM/queue-worker
+design), optional Macenko normalization, and write the storage tree:
+
+    <out>/<wsi_name>/patches/*.png
+                     metadata/*.yaml       (per-patch row/col/background)
+                     thumbnails/…          tissue_masks/…
+                     patch_metadata.json   metadata.yaml
+
+`processed.json` at the output root provides resume (reference
+patch_extraction.py:486-524). The tiling math is DeepZoom-compatible:
+tile_size = patch_size − 2·overlap, region origin = col·tile_size − overlap
+(patch_util.py:86-110), uniform patch_size reads with white border padding.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import yaml
+
+from cellvit_tpu.preprocessing import masking
+from cellvit_tpu.preprocessing.macenko import macenko_normalization
+from cellvit_tpu.preprocessing.wsi_reader import open_slide
+from cellvit_tpu.utils.logger import Logger
+
+
+@dataclass
+class PreProcessingConfig:
+    """Subset-compatible preprocessing configuration (reference
+    `src/cli.py:79-230`; field names match the YAML schema)."""
+
+    wsi_paths: Union[str, Sequence[str]]
+    output_path: str
+    patch_size: int = 256
+    patch_overlap: float = 0.0  # percentage of patch_size (reference semantics)
+    target_mpp: Optional[float] = None
+    target_mag: Optional[float] = None
+    downsample: int = 1
+    min_intersection_ratio: float = 0.01
+    normalize_stains: bool = False
+    normalization_vector_json: Optional[str] = None
+    apply_prefilter: bool = False
+    overwrite: bool = False
+    processes: int = 8
+    wsi_extension: str = "svs"
+    wsi_properties: Dict = field(default_factory=dict)
+    label_map: Dict[str, int] = field(default_factory=lambda: {"background": 0})
+
+    def __post_init__(self):
+        assert 0 <= self.patch_overlap < 100
+        assert 0 <= self.min_intersection_ratio <= 1
+
+
+def patch_to_tile_size(patch_size: int, overlap_px: int) -> int:
+    """DeepZoom tile size from patch size (patch_util.py:86-110)."""
+    return patch_size - 2 * overlap_px
+
+
+class PreProcessor:
+    def __init__(self, slide_processor_config: PreProcessingConfig) -> None:
+        self.config = slide_processor_config
+        self.output = Path(self.config.output_path)
+        self.output.mkdir(parents=True, exist_ok=True)
+        self.logger = Logger(level="INFO", log_dir=self.output).create_logger()
+
+        wsi_paths = self.config.wsi_paths
+        if isinstance(wsi_paths, (str, Path)) and Path(wsi_paths).is_dir():
+            self.files = sorted(
+                Path(wsi_paths).glob(f"*.{self.config.wsi_extension}")
+            )
+        elif isinstance(wsi_paths, (str, Path)):
+            self.files = [Path(wsi_paths)]
+        else:
+            self.files = [Path(p) for p in wsi_paths]
+
+        overlap_px = int(
+            math.floor(self.config.patch_size * self.config.patch_overlap / 100 / 2)
+            * 2
+        )
+        self.overlap_px = overlap_px
+        self.tile_size = patch_to_tile_size(self.config.patch_size, overlap_px)
+
+    # ----------------------------------------------------------- resume
+
+    def _processed_path(self) -> Path:
+        return self.output / "processed.json"
+
+    def _load_processed(self) -> List[str]:
+        if self._processed_path().exists():
+            return json.loads(self._processed_path().read_text())["processed_files"]
+        return []
+
+    def _mark_processed(self, name: str) -> None:
+        done = self._load_processed()
+        if name not in done:
+            done.append(name)
+        self._processed_path().write_text(
+            json.dumps({"processed_files": done}, indent=2)
+        )
+
+    # ----------------------------------------------------------- levels
+
+    def _resolve_level(self, reader) -> Tuple[int, float, float]:
+        """→ (pyramid level, extra rescaling factor, total downsample).
+
+        Precedence target_mpp > target_mag > downsample
+        (reference patch_extraction.py:551-749, patch_util.py:112-185).
+        """
+        base_mpp = reader.mpp or self.config.wsi_properties.get("slide_mpp")
+        base_mag = reader.magnification or self.config.wsi_properties.get(
+            "magnification"
+        )
+        if self.config.target_mpp is not None:
+            if base_mpp is None:
+                raise RuntimeError("slide mpp unknown; set wsi_properties.slide_mpp")
+            factor = self.config.target_mpp / base_mpp
+        elif self.config.target_mag is not None:
+            if base_mag is None:
+                raise RuntimeError(
+                    "slide magnification unknown; set wsi_properties.magnification"
+                )
+            factor = base_mag / self.config.target_mag
+        else:
+            factor = float(self.config.downsample)
+        if factor < 1:
+            factor = 1.0
+        downs = reader.level_downsamples
+        level = max(i for i, d in enumerate(downs) if d <= factor + 1e-6)
+        rescale = factor / downs[level]
+        return level, rescale, factor
+
+    # ----------------------------------------------------------- per-WSI
+
+    def _interesting_patches(
+        self, reader, level: int, rescale: float
+    ) -> Tuple[List[Tuple[int, int, float]], np.ndarray]:
+        """Thumbnail tissue mask → (row, col, background_ratio) grid list."""
+        thumb = reader.get_thumbnail(2000)
+        tissue = masking.generate_tissue_mask(
+            thumb, apply_prefilter=self.config.apply_prefilter
+        )
+        lw, lh = reader.level_dimensions[level]
+        lw, lh = int(lw / rescale), int(lh / rescale)
+        n_cols = max(1, math.ceil(lw / self.tile_size))
+        n_rows = max(1, math.ceil(lh / self.tile_size))
+        # tissue-mask grid cell size in thumbnail pixels
+        sy = tissue.shape[0] / lh
+        sx = tissue.shape[1] / lw
+        interesting = []
+        for row in range(n_rows):
+            for col in range(n_cols):
+                y0 = int((row * self.tile_size - self.overlap_px) * sy)
+                y1 = int(((row + 1) * self.tile_size + self.overlap_px) * sy)
+                x0 = int((col * self.tile_size - self.overlap_px) * sx)
+                x1 = int(((col + 1) * self.tile_size + self.overlap_px) * sx)
+                cell = tissue[max(0, y0) : max(0, y1), max(0, x0) : max(0, x1)]
+                area = max(1, (y1 - y0) * (x1 - x0))
+                tissue_ratio = float(cell.sum()) / area
+                bg_ratio = 1.0 - tissue_ratio
+                if bg_ratio <= 1.0 - self.config.min_intersection_ratio:
+                    interesting.append((row, col, bg_ratio))
+        return interesting, tissue
+
+    def _extract_patch(
+        self, reader, level: int, rescale: float, row: int, col: int
+    ) -> np.ndarray:
+        p = self.config.patch_size
+        if rescale == 1.0:
+            x = col * self.tile_size - self.overlap_px
+            y = row * self.tile_size - self.overlap_px
+            return reader.read_region((x, y), level, (p, p))
+        import cv2
+
+        src = int(round(p * rescale))
+        x = int(round((col * self.tile_size - self.overlap_px) * rescale))
+        y = int(round((row * self.tile_size - self.overlap_px) * rescale))
+        region = reader.read_region((x, y), level, (src, src))
+        return cv2.resize(region, (p, p), interpolation=cv2.INTER_AREA)
+
+    def process_wsi(self, wsi_path: Path) -> Dict:
+        from PIL import Image
+
+        cfg = self.config
+        name = wsi_path.stem
+        wsi_out = self.output / name
+        for sub in ("patches", "metadata", "thumbnails", "tissue_masks"):
+            (wsi_out / sub).mkdir(parents=True, exist_ok=True)
+
+        reader = open_slide(str(wsi_path))
+        level, rescale, total_downsample = self._resolve_level(reader)
+        base_mag = reader.magnification or cfg.wsi_properties.get("magnification")
+        base_mpp = reader.mpp or cfg.wsi_properties.get("slide_mpp")
+
+        interesting, tissue_mask = self._interesting_patches(reader, level, rescale)
+        self.logger.info(
+            f"{name}: level {level} (downsample {total_downsample}), "
+            f"{len(interesting)} candidate patches"
+        )
+        Image.fromarray((tissue_mask * 255).astype(np.uint8)).save(
+            wsi_out / "tissue_masks" / "mask_nogrid.png"
+        )
+        Image.fromarray(reader.get_thumbnail(1024)).save(
+            wsi_out / "thumbnails" / "thumbnail.png"
+        )
+
+        # thread pool: one native reader handle per worker
+        import threading
+
+        local = threading.local()
+
+        def get_reader():
+            if not hasattr(local, "reader"):
+                local.reader = open_slide(str(wsi_path))
+            return local.reader
+
+        def work(item):
+            row, col, coarse_bg = item
+            patch = self._extract_patch(get_reader(), level, rescale, row, col)
+            bg_ratio = masking.calculate_background_ratio(patch, cfg.patch_size)
+            if bg_ratio > 1 - cfg.min_intersection_ratio:
+                return None
+            return row, col, patch, bg_ratio
+
+        with ThreadPoolExecutor(max_workers=cfg.processes) as pool:
+            results = [r for r in pool.map(work, interesting) if r is not None]
+
+        if cfg.normalize_stains and results:
+            patches = [r[2] for r in results]
+            patches, _, _ = macenko_normalization(
+                patches,
+                normalization_vector_path=cfg.normalization_vector_json,
+            )
+            results = [
+                (r[0], r[1], p, r[3]) for r, p in zip(results, patches)
+            ]
+
+        patch_index = []
+        for row, col, patch, bg_ratio in results:
+            patch_name = f"{name}_{row}_{col}.png"
+            Image.fromarray(patch).save(wsi_out / "patches" / patch_name)
+            meta = {
+                "row": row,
+                "col": col,
+                "background_ratio": float(bg_ratio),
+                "intersected_labels": [],
+                "metadata_path": f"./metadata/{name}_{row}_{col}.yaml",
+            }
+            (wsi_out / "metadata" / f"{name}_{row}_{col}.yaml").write_text(
+                yaml.safe_dump({k: v for k, v in meta.items() if k != "metadata_path"})
+            )
+            patch_index.append({patch_name: meta})
+
+        (wsi_out / "patch_metadata.json").write_text(json.dumps(patch_index, indent=2))
+        wsi_metadata = {
+            "orig_n_tiles_cols": max((c for _, c, *_ in results), default=0) + 1,
+            "orig_n_tiles_rows": max((r for r, *_ in results), default=0) + 1,
+            "base_magnification": base_mag,
+            "downsampling": total_downsample,
+            "label_map": cfg.label_map,
+            "magnification": (base_mag / total_downsample) if base_mag else None,
+            "base_mpp": base_mpp,
+            "target_patch_mpp": (base_mpp * total_downsample) if base_mpp else None,
+            "patch_overlap": self.overlap_px * 2,
+            "patch_size": cfg.patch_size,
+            "patch_distance": self.tile_size,
+            "stain_normalization": cfg.normalize_stains,
+        }
+        (wsi_out / "metadata.yaml").write_text(yaml.safe_dump(wsi_metadata))
+        reader.close()
+        return {"n_patches": len(patch_index), "output": str(wsi_out)}
+
+    def sample_patches_dataset(self) -> List[Dict]:
+        """Process all slides, honoring `processed.json` resume."""
+        processed = set(self._load_processed())
+        out = []
+        for path in self.files:
+            if not self.config.overwrite and path.name in processed:
+                self.logger.info(f"skipping {path.name} (processed)")
+                continue
+            out.append(self.process_wsi(path))
+            self._mark_processed(path.name)
+        return out

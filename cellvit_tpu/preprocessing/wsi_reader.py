@@ -1,0 +1,240 @@
+"""Whole-slide-image readers.
+
+`NativeWSIReader` binds native/libwsireader.so (C++ on libtiff) — the
+framework's replacement for the reference's CuCIM/OpenSlide decoding
+(`src/cucim_deepzoom.py:19-78`, `patch_util.py:1122-1138`): random-access
+region reads from tiled pyramidal TIFF/SVS with slide metadata (mpp,
+objective magnification). One handle per worker thread (libtiff handles are
+not thread-safe); `open_slide` auto-builds the library on first use.
+
+`PILReader` is the fallback for plain raster images (PNG/JPEG/small TIFF) —
+it synthesizes a pyramid by downsampling in memory.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def _load_library() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = _NATIVE_DIR / "libwsireader.so"
+    if not so.exists():
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True)
+    lib = ctypes.CDLL(str(so))
+    lib.wsi_open.restype = ctypes.c_void_p
+    lib.wsi_open.argtypes = [ctypes.c_char_p]
+    lib.wsi_close.argtypes = [ctypes.c_void_p]
+    lib.wsi_level_count.argtypes = [ctypes.c_void_p]
+    lib.wsi_level_count.restype = ctypes.c_int
+    lib.wsi_level_size.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.wsi_mpp.restype = ctypes.c_double
+    lib.wsi_mpp.argtypes = [ctypes.c_void_p]
+    lib.wsi_magnification.restype = ctypes.c_double
+    lib.wsi_magnification.argtypes = [ctypes.c_void_p]
+    lib.wsi_read_region.restype = ctypes.c_int
+    lib.wsi_read_region.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.wsi_write_pyramid.restype = ctypes.c_int
+    lib.wsi_write_pyramid.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double,
+    ]
+    _LIB = lib
+    return lib
+
+
+class NativeWSIReader:
+    """Tiled pyramidal TIFF/SVS reader backed by the C++ library."""
+
+    def __init__(self, path: str) -> None:
+        self._lib = _load_library()
+        self._handle = self._lib.wsi_open(str(path).encode())
+        if not self._handle:
+            raise IOError(f"cannot open WSI {path}")
+        self.path = str(path)
+
+    @property
+    def level_count(self) -> int:
+        return self._lib.wsi_level_count(self._handle)
+
+    @property
+    def level_dimensions(self) -> List[Tuple[int, int]]:
+        dims = []
+        for lv in range(self.level_count):
+            w, h = ctypes.c_uint32(), ctypes.c_uint32()
+            self._lib.wsi_level_size(
+                self._handle, lv, ctypes.byref(w), ctypes.byref(h)
+            )
+            dims.append((w.value, h.value))
+        return dims
+
+    @property
+    def dimensions(self) -> Tuple[int, int]:
+        return self.level_dimensions[0]
+
+    @property
+    def level_downsamples(self) -> List[float]:
+        w0 = self.dimensions[0]
+        return [w0 / w for w, _ in self.level_dimensions]
+
+    @property
+    def mpp(self) -> Optional[float]:
+        v = self._lib.wsi_mpp(self._handle)
+        return v if v > 0 else None
+
+    @property
+    def magnification(self) -> Optional[float]:
+        v = self._lib.wsi_magnification(self._handle)
+        return v if v > 0 else None
+
+    def read_region(
+        self, location: Tuple[int, int], level: int, size: Tuple[int, int]
+    ) -> np.ndarray:
+        """RGB uint8 (h, w, 3); `location` is in LEVEL coordinates."""
+        w, h = size
+        out = np.empty((h, w, 3), np.uint8)
+        rc = self._lib.wsi_read_region(
+            self._handle, level, int(location[0]), int(location[1]),
+            w, h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise IOError(f"wsi_read_region failed rc={rc} on {self.path}")
+        return out
+
+    def get_thumbnail(self, max_size: int = 1024) -> np.ndarray:
+        dims = self.level_dimensions
+        level = self.level_count - 1
+        w, h = dims[level]
+        img = self.read_region((0, 0), level, (w, h))
+        scale = max(w, h) / max_size
+        if scale > 1:
+            import cv2
+
+            img = cv2.resize(
+                img, (int(w / scale), int(h / scale)),
+                interpolation=cv2.INTER_AREA,
+            )
+        return img
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.wsi_close(self._handle)
+            self._handle = None
+
+    def __del__(self) -> None:  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PILReader:
+    """Fallback reader for plain raster files: in-memory 2× pyramid."""
+
+    def __init__(self, path: str, n_levels: int = 4) -> None:
+        from PIL import Image
+
+        img = np.array(Image.open(path).convert("RGB"))
+        self.path = str(path)
+        self._levels = [img]
+        for _ in range(n_levels - 1):
+            prev = self._levels[-1]
+            if min(prev.shape[:2]) < 2:
+                break
+            h2, w2 = prev.shape[0] // 2, prev.shape[1] // 2
+            self._levels.append(
+                prev[: h2 * 2, : w2 * 2]
+                .reshape(h2, 2, w2, 2, 3)
+                .mean((1, 3))
+                .astype(np.uint8)
+            )
+        self.mpp = None
+        self.magnification = None
+
+    @property
+    def level_count(self) -> int:
+        return len(self._levels)
+
+    @property
+    def level_dimensions(self) -> List[Tuple[int, int]]:
+        return [(l.shape[1], l.shape[0]) for l in self._levels]
+
+    @property
+    def dimensions(self) -> Tuple[int, int]:
+        return self.level_dimensions[0]
+
+    @property
+    def level_downsamples(self) -> List[float]:
+        w0 = self.dimensions[0]
+        return [w0 / w for w, _ in self.level_dimensions]
+
+    def read_region(self, location, level, size) -> np.ndarray:
+        lv = self._levels[level]
+        x, y = int(location[0]), int(location[1])
+        w, h = size
+        out = np.full((h, w, 3), 255, np.uint8)
+        x0, y0 = max(0, x), max(0, y)
+        x1 = min(lv.shape[1], x + w)
+        y1 = min(lv.shape[0], y + h)
+        if x1 > x0 and y1 > y0:
+            out[y0 - y : y1 - y, x0 - x : x1 - x] = lv[y0:y1, x0:x1]
+        return out
+
+    def get_thumbnail(self, max_size: int = 1024) -> np.ndarray:
+        import cv2
+
+        lv = self._levels[-1]
+        scale = max(lv.shape[:2]) / max_size
+        if scale > 1:
+            lv = cv2.resize(
+                lv, (int(lv.shape[1] / scale), int(lv.shape[0] / scale)),
+                interpolation=cv2.INTER_AREA,
+            )
+        return lv
+
+    def close(self) -> None:
+        pass
+
+
+WSI_SUFFIXES = {".svs", ".tif", ".tiff", ".ndpi", ".scn"}
+
+
+def open_slide(path: str):
+    """Reader factory: native for TIFF-container formats, PIL otherwise."""
+    suffix = Path(path).suffix.lower()
+    if suffix in WSI_SUFFIXES:
+        return NativeWSIReader(path)
+    return PILReader(path)
+
+
+def write_test_pyramid(
+    path: str, rgb: np.ndarray, tile_size: int = 64, n_levels: int = 3,
+    mpp: float = 0.25, magnification: float = 40.0,
+) -> None:
+    """Write a synthetic tiled pyramidal TIFF (test fixture support)."""
+    lib = _load_library()
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    rc = lib.wsi_write_pyramid(
+        str(path).encode(),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rgb.shape[1], rgb.shape[0], tile_size, n_levels, mpp, magnification,
+    )
+    if rc != 0:
+        raise IOError(f"wsi_write_pyramid failed rc={rc}")

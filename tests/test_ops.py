@@ -26,8 +26,11 @@ def test_sobel_filter_matches_cv2(rng, ksize):
     ref_v = cv2.Sobel(x, cv2.CV_64F, 0, 1, ksize=ksize)
     out_h = np.asarray(filters.sobel(jnp.asarray(x), 1, 0, ksize))
     out_v = np.asarray(filters.sobel(jnp.asarray(x), 0, 1, ksize))
-    np.testing.assert_allclose(out_h, ref_h, rtol=1e-3, atol=1e-2)
-    np.testing.assert_allclose(out_v, ref_v, rtol=1e-3, atol=1e-2)
+    # kernels carry huge integer coefficients (≤184756 at k=21) so compare
+    # relative to the output range (f32 accumulation, ~1e-6 relative)
+    scale_h, scale_v = np.abs(ref_h).max(), np.abs(ref_v).max()
+    np.testing.assert_allclose(out_h / scale_h, ref_h / scale_h, atol=2e-6)
+    np.testing.assert_allclose(out_v / scale_v, ref_v / scale_v, atol=2e-6)
 
 
 def test_gaussian_blur_matches_cv2(rng):
