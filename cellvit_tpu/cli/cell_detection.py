@@ -1,0 +1,91 @@
+"""WSI cell-detection CLI (drop-in for the reference
+`cell_segmentation/inference/cell_detection.py:906-1069`:
+InferenceWSIParser with `process_wsi` / `process_dataset` subcommands).
+
+Usage:
+  python -m cellvit_tpu.cli.cell_detection --model ckpt.pth [--geojson] \
+      process_wsi --wsi_path slide.svs --patched_slide_path pre/slide
+  python -m cellvit_tpu.cli.cell_detection --model ckpt.pth \
+      process_dataset --wsi_paths dir/ --patch_dataset_path pre/ \
+      [--filelist list.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        description="Perform CellViT inference for given run-directory with "
+        "model checkpoints and logs",
+    )
+    parser.add_argument("--model", type=str, help="Model checkpoint (.pth) or run dir", required=True)
+    parser.add_argument("--gpu", type=int, default=0, help="Device index (kept for CLI compatibility)")
+    parser.add_argument("--magnification", type=float, default=40)
+    parser.add_argument("--enforce_amp", action="store_true", help="Run inference in bf16")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--outdir_subdir", type=str, default=None)
+    parser.add_argument("--geojson", action="store_true")
+
+    subparsers = parser.add_subparsers(dest="command", required=True)
+
+    single = subparsers.add_parser(
+        "process_wsi", description="Process a single WSI file"
+    )
+    single.add_argument("--wsi_path", type=str, required=True)
+    single.add_argument("--patched_slide_path", type=str, required=True)
+
+    multi = subparsers.add_parser(
+        "process_dataset", description="Process a whole dataset"
+    )
+    multi.add_argument("--wsi_paths", type=str, required=True)
+    multi.add_argument("--patch_dataset_path", type=str, required=True)
+    multi.add_argument("--filelist", type=str, default=None)
+    multi.add_argument("--wsi_extension", type=str, default="svs")
+    return parser
+
+
+def main() -> None:
+    from cellvit_tpu.data.wsi import WSI
+    from cellvit_tpu.inference.cell_detection import CellSegmentationInference
+
+    args = build_parser().parse_args()
+    model_arg = Path(args.model)
+    kwargs = dict(batch_size=args.batch_size)
+    if model_arg.is_dir():
+        inference = CellSegmentationInference(run_dir=model_arg, **kwargs)
+    else:
+        inference = CellSegmentationInference(model_path=model_arg, **kwargs)
+
+    def run_one(wsi_path: Path, patched: Path) -> None:
+        wsi = WSI(
+            name=wsi_path.stem, patient=wsi_path.stem, slide_path=wsi_path,
+            patched_slide_path=patched,
+        )
+        inference.check_wsi(wsi, magnification=args.magnification)
+        inference.process_wsi(
+            wsi, subdir_name=args.outdir_subdir, geojson=args.geojson,
+            magnification=args.magnification,
+        )
+
+    if args.command == "process_wsi":
+        run_one(Path(args.wsi_path), Path(args.patched_slide_path))
+    else:
+        wsi_root = Path(args.wsi_paths)
+        patch_root = Path(args.patch_dataset_path)
+        if args.filelist:
+            with open(args.filelist) as f:
+                names = [row[0] for row in csv.reader(f)][1:]
+            files = [wsi_root / n for n in names]
+        else:
+            files = sorted(wsi_root.glob(f"*.{args.wsi_extension}"))
+        for wsi_path in files:
+            run_one(wsi_path, patch_root / wsi_path.stem)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,22 @@
+"""Train a CellViT-CPP-Net model (drop-in CLI for the reference
+`cell_segmentation/run_cpp_net.py`).
+
+Usage: python -m cellvit_tpu.cli.run_cpp_net --config train.yaml
+"""
+
+from __future__ import annotations
+
+
+def main() -> None:
+    from cellvit_tpu.cli.base_cli import ExperimentBaseParser
+    from cellvit_tpu.train.experiment_stardist import ExperimentCellViTCPP
+
+    config, args = ExperimentBaseParser().parse_arguments()
+    if config.get("run_sweep"):
+        raise NotImplementedError("sweeps require the wandb package")
+    experiment = ExperimentCellViTCPP(config, checkpoint=config.get("checkpoint"))
+    experiment.run_experiment()
+
+
+if __name__ == "__main__":
+    main()

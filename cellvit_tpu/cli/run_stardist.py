@@ -1,0 +1,24 @@
+"""Train a CellViT-StarDist model (drop-in CLI for the reference
+`cell_segmentation/run_stardist.py:30-60`).
+
+Usage: python -m cellvit_tpu.cli.run_stardist --config train.yaml
+"""
+
+from __future__ import annotations
+
+
+def main() -> None:
+    from cellvit_tpu.cli.base_cli import ExperimentBaseParser
+    from cellvit_tpu.train.experiment_stardist import ExperimentCellViTStarDist
+
+    config, args = ExperimentBaseParser().parse_arguments()
+    if config.get("run_sweep"):
+        raise NotImplementedError("sweeps require the wandb package")
+    experiment = ExperimentCellViTStarDist(
+        config, checkpoint=config.get("checkpoint")
+    )
+    experiment.run_experiment()
+
+
+if __name__ == "__main__":
+    main()

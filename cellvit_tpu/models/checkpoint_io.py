@@ -65,13 +65,23 @@ _INVERSE = {
     "none": lambda w: np.asarray(w),
 }
 
+def _t_conv1x1_dense(w: np.ndarray) -> np.ndarray:
+    # torch Conv2d(K_in, K_out, 1) weight (K_out, K_in, 1, 1) → Dense (K_in, K_out)
+    return np.ascontiguousarray(w[:, :, 0, 0].T)
+
+
 _TRANSFORMS: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "linear": _t_linear,
     "conv": _t_conv,
     "deconv": _t_deconv,
     "patch": _t_patch,
     "none": _t_none,
+    "conv1x1_dense": _t_conv1x1_dense,
 }
+
+_INVERSE["conv1x1_dense"] = lambda w: np.ascontiguousarray(
+    np.asarray(w).T[:, :, None, None]
+)
 
 
 def _inverse_patch(w: Any, patch: int, in_ch: int) -> np.ndarray:
@@ -193,9 +203,20 @@ _BRANCH_NAMES = (
     "hv_map_decoder",
     "nuclei_type_maps_decoder",
     # StarDist / CPP-Net branch towers reuse the same stage layout
-    "stardist_map_decoder",
-    "dist_map_decoder",
+    "stardist_decoder",
+    "dist_decoder",
 )
+
+# CPP-Net extras (reference cellvit_cpp_net.py:251-279): bias-free 1×1
+# conv heads, and a per-ray K→K confidence mix that we implement as Dense
+_CPP_SIMPLE = {
+    "stardist_head.weight": (("stardist_head", "kernel"), "conv"),
+    "dist_head.weight": (("dist_head", "kernel"), "conv"),
+    "type_head.weight": (("type_head", "kernel"), "conv"),
+    "conv_0_confidence.weight": (("conv_0_confidence", "kernel"), "conv"),
+    "conv_1_confidence.weight": (("conv_1_confidence", "kernel"), "conv1x1_dense"),
+    "conv_1_confidence.bias": (("conv_1_confidence", "bias"), "none"),
+}
 
 
 def map_torch_key(key: str, sam_encoder: bool) -> MapResult:
@@ -216,6 +237,10 @@ def map_torch_key(key: str, sam_encoder: bool) -> MapResult:
         if key.endswith("weight"):
             return ("params", ("classifier_head", "kernel"), "linear")
         return ("params", ("classifier_head", "bias"), "none")
+
+    if key in _CPP_SIMPLE:
+        path, tf = _CPP_SIMPLE[key]
+        return ("params", path, tf)
 
     # shared skip projections: decoder0 = Conv2DBlocks, decoder1..3 = Deconv2DBlocks
     m = re.match(r"decoder(\d)\.(\d+)\.(.+)", key)
@@ -500,6 +525,18 @@ def _flax_path_to_torch_key(
     if parts[0] == "classifier_head":
         n, tf = leafname("linear")
         return f"classifier_head.{n}", tf
+
+    cpp_export = {
+        "stardist_head": "conv",
+        "dist_head": "conv",
+        "type_head": "conv",
+        "conv_0_confidence": "conv",
+        "conv_1_confidence": "conv1x1_dense",
+    }
+    if parts[0] in cpp_export:
+        if leaf == "kernel":
+            return f"{parts[0]}.weight", cpp_export[parts[0]]
+        return f"{parts[0]}.bias", "none"
 
     m = re.match(r"decoder(\d)_(\d+)", parts[0])
     if m:
