@@ -253,11 +253,62 @@ def map_torch_key(key: str, sam_encoder: bool) -> MapResult:
         coll, path, tf = r
         return (coll, (f"decoder{d}_{j}",) + path, tf)
 
+    # shared-decoder variants: single tower under `decoder.`
+    m = re.match(r"decoder\.decoder(\d)_skip\.(\d+)\.(.+)", key)
+    if m:
+        d, j, sub = int(m.group(1)), int(m.group(2)), m.group(3)
+        mapper = _map_conv_bn_block if d == 0 else _map_deconv_block
+        r = mapper(sub)
+        if r is None:
+            raise KeyError(key)
+        coll, path, tf = r
+        return (coll, ("decoder", f"decoder{d}_skip_{j}") + path, tf)
+    if key.startswith("decoder.bottleneck_upsampler."):
+        if key.endswith("weight"):
+            return ("params", ("decoder", "bottleneck_upsampler", "kernel"), "deconv")
+        return ("params", ("decoder", "bottleneck_upsampler", "bias"), "none")
+    m = re.match(r"decoder\.(\w+)\.(\d+)\.(.*)", key)
+    if m and m.group(1) in _BRANCH_STAGES:
+        stage, idx, rest = m.group(1), int(m.group(2)), m.group(3)
+        convs, n_convs, up = _BRANCH_STAGES[stage]
+        if idx < n_convs:
+            r = _map_conv_bn_block(rest)
+            if r is None:
+                raise KeyError(key)
+            coll, path, tf = r
+            return (coll, ("decoder", f"{convs}_{idx}") + path, tf)
+        tf = "conv" if up == "header" else "deconv"
+        if rest == "weight":
+            return ("params", ("decoder", up, "kernel"), tf)
+        if rest == "bias":
+            return ("params", ("decoder", up, "bias"), "none")
+        raise KeyError(key)
+
+    # shared StarDist heads
+    shared_heads = {
+        "stardist_header.0.weight": (("stardist_header", "kernel"), "conv"),
+        "stardist_header.0.bias": (("stardist_header", "bias"), "none"),
+        "dist_header.weight": (("dist_header", "kernel"), "conv"),
+        "dist_header.bias": (("dist_header", "bias"), "none"),
+        "nuclei_type_maps_header.weight": (
+            ("nuclei_type_maps_header", "kernel"), "conv"),
+        "nuclei_type_maps_header.bias": (
+            ("nuclei_type_maps_header", "bias"), "none"),
+    }
+    if key in shared_heads:
+        path, tf = shared_heads[key]
+        return ("params", path, tf)
+
     # branch towers
     for branch in _BRANCH_NAMES:
         if not key.startswith(branch + "."):
             continue
         sub = key[len(branch) + 1:]
+        # shared variants: the branch name is a bare 1×1 conv head
+        if sub == "weight":
+            return ("params", (branch, "kernel"), "conv")
+        if sub == "bias":
+            return ("params", (branch, "bias"), "none")
         if sub in ("bottleneck_upsampler.weight",):
             return ("params", (branch, "bottleneck_upsampler", "kernel"), "deconv")
         if sub in ("bottleneck_upsampler.bias",):
@@ -555,9 +606,56 @@ def _flax_path_to_torch_key(
             n, tf = leafname("conv")
         return f"decoder{d}.{j}.block.{idx[inner]}.{n}", tf
 
+    if parts[0] == "decoder":  # shared-decoder tower
+        inner = parts[1]
+        m2 = re.match(r"decoder(\d)_skip_(\d+)", inner)
+        if m2:
+            d_i, j = m2.group(1), m2.group(2)
+            sub2 = parts[2]
+            idx = {"conv": 0, "bn": 1} if d_i == "0" else {
+                "deconv": 0, "conv": 1, "bn": 2}
+            if sub2 == "bn":
+                kind = "bn_stat" if coll == "batch_stats" else "norm"
+                n, tf = leafname(kind)
+            elif sub2 == "deconv":
+                n, tf = leafname("deconv")
+            else:
+                n, tf = leafname("conv")
+            return f"decoder.decoder{d_i}_skip.{j}.block.{idx[sub2]}.{n}", tf
+        if inner == "bottleneck_upsampler":
+            n, tf = leafname("deconv")
+            return f"decoder.bottleneck_upsampler.{n}", tf
+        for tname, (convs, n_convs, up) in _BRANCH_STAGES.items():
+            if inner == up:
+                n, tf = leafname("conv" if up == "header" else "deconv")
+                return f"decoder.{tname}.{n_convs}.{n}", tf
+            if inner.startswith(convs + "_"):
+                j = inner.split("_")[-1]
+                sub2 = parts[2]
+                idx = {"conv": 0, "bn": 1}[sub2]
+                if sub2 == "bn":
+                    kind = "bn_stat" if coll == "batch_stats" else "norm"
+                    n, tf = leafname(kind)
+                else:
+                    n, tf = leafname("conv")
+                return f"decoder.{tname}.{j}.block.{idx}.{n}", tf
+        raise KeyError(f"unexportable path {path}")
+
+    shared_heads = {
+        "stardist_header": "stardist_header.0",
+        "dist_header": "dist_header",
+        "nuclei_type_maps_header": "nuclei_type_maps_header",
+    }
+    if parts[0] in shared_heads:
+        n, tf = leafname("conv")
+        return f"{shared_heads[parts[0]]}.{n}", tf
+
     for branch in _BRANCH_NAMES:
         if parts[0] != branch:
             continue
+        if len(parts) == 2:  # shared variants: bare 1×1 conv head
+            n, tf = leafname("conv")
+            return f"{branch}.{n}", tf
         inner = parts[1]
         if inner == "bottleneck_upsampler":
             n, tf = leafname("deconv")
