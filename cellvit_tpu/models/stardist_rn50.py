@@ -1,0 +1,160 @@
+"""StarDist-RN50 baseline: ResNet50 encoder + bilinear U-Net decoders.
+
+Behavioral parity target: `models/segmentation/cell_segmentation/
+cpp_net_stardist_rn50.py` (CPP-Net's original baseline): torchvision-style
+ResNet50 returning the four stage features (256/512/1024/2048 ch at
+strides 4/8/16/32), two bilinear-upsampling U-Net towers — one for
+dist/ray heads (shared 256-ch feature conv), one for the type map — and
+ReLU-activated ray outputs. NHWC, flax.linen.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class BottleneckBlock(nn.Module):
+    """ResNet bottleneck: 1×1 → 3×3(stride) → 1×1(×4) with projection."""
+
+    features: int
+    stride: int = 1
+    project: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = bn("bn3")(y)
+        if self.project:
+            residual = nn.Conv(
+                self.features * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50Encoder(nn.Module):
+    """ResNet50 trunk returning stage features.
+
+    The reference disables the stem maxpool (cpp_net_stardist_rn50.py
+    `_forward_impl`: `# x = self.maxpool(x)`), so stages sit at strides
+    2/4/8/16 and the decoder's single final ×2 restores full resolution.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(
+            nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        )
+        feats = []
+        for stage, (features, blocks, stride) in enumerate(
+            [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]
+        ):
+            for b in range(blocks):
+                y = BottleneckBlock(
+                    features,
+                    stride=stride if b == 0 else 1,
+                    project=b == 0,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{b}",
+                )(y, train=train)
+            feats.append(y)
+        return tuple(feats)  # 256/4, 512/8, 1024/16, 2048/32
+
+
+def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
+    """2× bilinear upsample, align_corners=True (torch nn.Upsample)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")
+
+
+class UpBlock(nn.Module):
+    """Bilinear up ×2 + concat skip + double conv (reference `up`)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = False):
+        y = _bilinear_up2(x)
+        # pad to the skip's spatial size (reference F.pad alignment)
+        dh = skip.shape[1] - y.shape[1]
+        dw = skip.shape[2] - y.shape[2]
+        if dh or dw:
+            y = jnp.pad(
+                y,
+                ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
+            )
+        y = jnp.concatenate([skip, y], axis=-1)
+        for i in range(2):
+            y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"conv{i + 1}")(y)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"bn{i + 1}",
+            )(y)
+            y = nn.relu(y)
+        return y
+
+
+class StarDistRN50(nn.Module):
+    """ResNet50 StarDist baseline (reference StarDistRN50:615-728)."""
+
+    n_rays: int = 32
+    n_seg_cls: int = 6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, train: bool = False, retrieve_tokens: bool = False
+    ) -> Dict[str, jax.Array]:
+        x1, x2, x3, x4 = ResNet50Encoder(dtype=self.dtype, name="encoder")(
+            x, train=train
+        )
+        y = UpBlock(1024, dtype=self.dtype, name="up1")(x4, x3, train=train)
+        y = UpBlock(512, dtype=self.dtype, name="up2")(y, x2, train=train)
+        y = UpBlock(256, dtype=self.dtype, name="up3")(y, x1, train=train)
+        y = _bilinear_up2(y)  # /2 → /1
+        feats = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="features")(y)
+        out: Dict[str, jax.Array] = {}
+        out["dist_map"] = nn.Conv(1, (1, 1), dtype=self.dtype, name="out_prob")(feats)
+        out["stardist_map"] = nn.relu(
+            nn.Conv(self.n_rays, (1, 1), dtype=self.dtype, name="out_ray")(feats)
+        )
+
+        s = UpBlock(1024, dtype=self.dtype, name="up1_seg")(x4, x3, train=train)
+        s = UpBlock(512, dtype=self.dtype, name="up2_seg")(s, x2, train=train)
+        s = UpBlock(256, dtype=self.dtype, name="up3_seg")(s, x1, train=train)
+        s = _bilinear_up2(s)
+        out["nuclei_type_map"] = nn.Conv(
+            self.n_seg_cls, (1, 1), dtype=self.dtype, name="out_seg"
+        )(s)
+        # RN50 baseline has no tissue classifier; emit zeros for API parity
+        out["tissue_types"] = jnp.zeros((x.shape[0], 1), self.dtype)
+        return out
