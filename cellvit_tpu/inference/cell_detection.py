@@ -40,6 +40,31 @@ from cellvit_tpu.ops.instance_stats import (
 from cellvit_tpu.utils.logger import Logger
 
 
+def assemble_patch_instances(
+    inst_map: np.ndarray, stats: Dict[str, np.ndarray]
+) -> Dict[int, Dict]:
+    """Host stage: contours + per-instance dicts for one patch.
+
+    Module-level (not a method) so multiprocessing workers can run it on
+    pickled device outputs (cell_detection_mp pipelining).
+    """
+    contours = contours_from_instance_map(inst_map)
+    info: Dict[int, Dict] = {}
+    for inst_id, contour in contours.items():
+        k = inst_id - 1
+        if k >= stats["valid"].shape[0] or not stats["valid"][k]:
+            continue
+        r0, r1, c0, c1 = stats["bbox"][k]
+        info[inst_id] = {
+            "bbox": np.array([[r0, c0], [r1, c1]]),
+            "centroid": stats["centroid"][k],
+            "contour": contour,
+            "type_prob": float(stats["type_prob"][k]),
+            "type": int(stats["type"][k]),
+        }
+    return info
+
+
 @dataclass
 class CellGraphDataWSI:
     """Cell-token graph (reference datamodel/cell_graph_datamodel.py:18-26)."""
@@ -117,14 +142,14 @@ class CellSegmentationInference:
 
     # ----------------------------------------------------------- core
 
-    def _predict_batch(
+    def _device_outputs(
         self, imgs: np.ndarray, magnification: float
-    ) -> Tuple[List[Dict[int, Dict]], np.ndarray]:
-        """Forward + on-device postproc for a (B, H, W, 3) [0,1] batch.
+    ) -> Tuple[np.ndarray, Dict[str, np.ndarray], np.ndarray]:
+        """Device stage: forward + watershed + per-instance stats.
 
-        Returns per-patch instance dicts (bbox/centroid/contour/type/
-        type_prob — reference `get_cell_predictions_with_tokens`,
-        cell_detection.py:485-514) and the (B, Ht, Wt, E) token maps.
+        Returns host copies of (instance maps (B, H, W), stats dict,
+        token maps (B, Ht, Wt, E)) — everything the host stage needs, so
+        host assembly can overlap with the next batch's device work.
         """
         x = (imgs - self.mean) / self.std
         out = self._forward(self.variables, jnp.asarray(x))
@@ -146,24 +171,25 @@ class CellSegmentationInference:
         inst_np = np.asarray(inst)
         stats = jax.tree_util.tree_map(np.asarray, stats)
         tokens = np.asarray(out["tokens"], np.float32)
+        return inst_np, stats, tokens
 
-        batch_instances: List[Dict[int, Dict]] = []
-        for i in range(inst_np.shape[0]):
-            contours = contours_from_instance_map(inst_np[i])
-            info: Dict[int, Dict] = {}
-            for inst_id, contour in contours.items():
-                k = inst_id - 1
-                if not stats["valid"][i, k]:
-                    continue
-                r0, r1, c0, c1 = stats["bbox"][i, k]
-                info[inst_id] = {
-                    "bbox": np.array([[r0, c0], [r1, c1]]),
-                    "centroid": stats["centroid"][i, k],
-                    "contour": contour,
-                    "type_prob": float(stats["type_prob"][i, k]),
-                    "type": int(stats["type"][i, k]),
-                }
-            batch_instances.append(info)
+    def _predict_batch(
+        self, imgs: np.ndarray, magnification: float
+    ) -> Tuple[List[Dict[int, Dict]], np.ndarray]:
+        """Forward + on-device postproc for a (B, H, W, 3) [0,1] batch.
+
+        Returns per-patch instance dicts (bbox/centroid/contour/type/
+        type_prob — reference `get_cell_predictions_with_tokens`,
+        cell_detection.py:485-514) and the (B, Ht, Wt, E) token maps.
+        """
+        inst_np, stats, tokens = self._device_outputs(imgs, magnification)
+        batch_instances = [
+            assemble_patch_instances(
+                inst_np[i],
+                jax.tree_util.tree_map(lambda a: a[i], stats),
+            )
+            for i in range(inst_np.shape[0])
+        ]
         return batch_instances, tokens
 
     def process_wsi(

@@ -1,0 +1,233 @@
+"""Pipelined multi-WSI cell detection.
+
+Reference parity: `inference/cell_detection_mp.py` (community-contributed
+pipelined runner, :130-931): a filelist-level dataset spanning many WSIs
+feeds the accelerator loop continuously; when a WSI's patches complete,
+its host postprocessing (contours, cell assembly, dedup, writers, zip) is
+dispatched to a worker pool with backpressure, and per-WSI flag files make
+runs resumable (`--overwrite` to redo).
+
+Division of labor differs from the reference by design: watershed +
+instance statistics already ran on device in the accelerator loop, so the
+workers only do contour tracing, dict assembly, dedup and serialization on
+compact numpy payloads.
+"""
+
+from __future__ import annotations
+
+import json
+import zipfile
+from concurrent.futures import Future, ProcessPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cellvit_tpu.data.wsi import WSI, PatchedWSIInference
+from cellvit_tpu.inference.cell_detection import (
+    CellSegmentationInference,
+    assemble_patch_instances,
+)
+from cellvit_tpu.inference import dedup as dd
+from cellvit_tpu.inference.geojson_export import TYPE_NUCLEI_DICT, convert_geojson
+
+FLAG_FILE_NAME = ".cell_detection_done"
+
+
+def postprocess_wsi_worker(
+    payload: Dict,
+) -> Tuple[str, int]:
+    """Worker: per-patch device outputs → deduped cell set → files.
+
+    Runs in a separate process; everything in `payload` is plain numpy /
+    python data (reference `f_post_processing_worker`,
+    cell_detection_mp.py:218-412).
+    """
+    records = payload["records"]  # list of (inst_map, stats, tokens, meta)
+    wsi_meta = payload["wsi_metadata"]
+    outdir = Path(payload["outdir"])
+    patch_size = payload["patch_size"]
+    overlap = payload["overlap"]
+    geojson = payload["geojson"]
+    scaling = wsi_meta["downsampling"]
+    token_patch = payload["token_patch_size"]
+
+    cells: List[Dict] = []
+    detections: List[Dict] = []
+    graph_tokens: List[np.ndarray] = []
+    graph_positions: List[np.ndarray] = []
+    graph_contours: List[np.ndarray] = []
+    processed_patches: List[str] = []
+
+    for inst_map, stats, tokens, meta in records:
+        instances = assemble_patch_instances(inst_map, stats)
+        row, col = meta["row"], meta["col"]
+        processed_patches.append(f"{row}_{col}")
+        x_global = int(row * patch_size * scaling - (row + 0.5) * overlap)
+        y_global = int(col * patch_size * scaling - (col + 0.5) * overlap)
+        offset_global = np.array([x_global, y_global])
+        for cell in instances.values():
+            if cell["type"] == 0:
+                continue
+            centroid_global = cell["centroid"] + np.flip(offset_global)
+            contour_global = cell["contour"] + np.flip(offset_global)
+            bbox_global = cell["bbox"] + offset_global
+            cell_dict = {
+                "bbox": bbox_global.tolist(),
+                "centroid": centroid_global.tolist(),
+                "contour": contour_global.tolist(),
+                "type_prob": cell["type_prob"],
+                "type": cell["type"],
+                "patch_coordinates": [row, col],
+                "cell_status": dd.get_cell_position_margin(
+                    cell["bbox"], patch_size, overlap
+                ),
+                "offset_global": offset_global.tolist(),
+            }
+            if np.max(cell["bbox"]) == patch_size or np.min(cell["bbox"]) == 0:
+                position = dd.get_cell_position(cell["bbox"], patch_size)
+                cell_dict["edge_position"] = True
+                cell_dict["edge_information"] = {
+                    "position": position,
+                    "edge_patches": dd.get_edge_patch(position, row, col),
+                }
+            else:
+                cell_dict["edge_position"] = False
+            cells.append(cell_dict)
+            detections.append(
+                {
+                    "bbox": bbox_global.tolist(),
+                    "centroid": centroid_global.tolist(),
+                    "type": cell["type"],
+                }
+            )
+            bb = cell["bbox"].astype(np.float64) / token_patch
+            r0, c0 = np.floor(bb[0]).astype(int)
+            r1, c1 = np.ceil(bb[1]).astype(int)
+            crop = tokens[r0 : max(r1, r0 + 1), c0 : max(c1, c0 + 1)]
+            graph_tokens.append(crop.reshape(-1, crop.shape[-1]).mean(0))
+            graph_positions.append(centroid_global)
+            graph_contours.append(contour_global)
+
+    keep = dd.CellPostProcessor(cells).post_process_cells()
+    cells = [cells[i] for i in keep]
+    detections = [detections[i] for i in keep]
+    graph_tokens = [graph_tokens[i] for i in keep]
+    graph_positions = [graph_positions[i] for i in keep]
+    graph_contours = [graph_contours[i] for i in keep]
+
+    outdir.mkdir(parents=True, exist_ok=True)
+    nuclei_types = {"Background": 0, **{v: k for k, v in TYPE_NUCLEI_DICT.items()}}
+    payload_out = {
+        "wsi_metadata": wsi_meta,
+        "processed_patches": processed_patches,
+        "type_map": nuclei_types,
+        "cells": cells,
+    }
+    files = {"cells.json": payload_out}
+    files["cell_detection.json"] = {**payload_out, "cells": detections}
+    if geojson:
+        files["cells.geojson"] = convert_geojson(cells, True)
+        files["cell_detection.geojson"] = convert_geojson(cells, False)
+
+    # zip outputs (reference zips results, :368-404)
+    with zipfile.ZipFile(outdir / "cells.zip", "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in files.items():
+            zf.writestr(name, json.dumps(data, indent=2))
+    for name, data in files.items():
+        (outdir / name).write_text(json.dumps(data, indent=2))
+
+    try:
+        import torch
+
+        from cellvit_tpu.inference.cell_detection import CellGraphDataWSI
+
+        graph = CellGraphDataWSI(
+            x=torch.from_numpy(np.stack(graph_tokens))
+            if graph_tokens else torch.zeros((0, 1)),
+            positions=torch.from_numpy(np.stack(graph_positions))
+            if graph_positions else torch.zeros((0, 2)),
+            contours=[torch.from_numpy(np.asarray(c)) for c in graph_contours],
+            metadata={"wsi_metadata": wsi_meta, "nuclei_types": nuclei_types},
+        )
+        torch.save(graph, outdir / "cells.pt")
+    except ImportError:
+        pass
+
+    (outdir / FLAG_FILE_NAME).write_text("done")
+    return str(outdir), len(cells)
+
+
+class CellSegmentationInferenceParallel(CellSegmentationInference):
+    """Multi-WSI runner: device loop + postprocessing worker pool."""
+
+    def process_wsi_filelist(
+        self,
+        wsis: List[WSI],
+        n_workers: int = 4,
+        max_outstanding: int = 4,
+        patch_size: int = 1024,
+        overlap: int = 64,
+        geojson: bool = False,
+        overwrite: bool = False,
+        subdir_name: Optional[str] = None,
+        magnification: Optional[float] = None,
+    ) -> List[Tuple[str, int]]:
+        results: List[Tuple[str, int]] = []
+        futures: List[Future] = []
+
+        def drain(block: bool) -> None:
+            # backpressure loop (reference :915-921)
+            while futures and (block or len(futures) >= max_outstanding):
+                fut = futures[0]
+                if not block and not fut.done():
+                    import time
+
+                    time.sleep(0.05)
+                    continue
+                results.append(fut.result())
+                futures.pop(0)
+
+        with ProcessPoolExecutor(max_workers=n_workers) as pool:
+            for wsi in wsis:
+                outdir = wsi.patched_slide_path / "cell_detection"
+                if subdir_name:
+                    outdir = outdir / subdir_name
+                if not overwrite and (outdir / FLAG_FILE_NAME).exists():
+                    self.logger.info(f"skipping {wsi.name} (flag file present)")
+                    continue
+                mag = magnification or wsi.metadata.get("magnification") or 40
+                dataset = PatchedWSIInference(wsi)
+                records = []
+                from cellvit_tpu.data.loader import DataLoader, SequentialSampler
+
+                loader = DataLoader(
+                    dataset, batch_size=self.batch_size,
+                    sampler=SequentialSampler(len(dataset)), num_workers=8,
+                    collate_fn=PatchedWSIInference.collate_batch,
+                )
+                for imgs, metadata in loader:
+                    inst_np, stats, tokens = self._device_outputs(imgs, mag)
+                    for i, meta in enumerate(metadata):
+                        per = {
+                            k: v[i] for k, v in stats.items()
+                        }
+                        records.append(
+                            (inst_np[i].astype(np.int32), per, tokens[i], meta)
+                        )
+                payload = {
+                    "records": records,
+                    "wsi_metadata": wsi.metadata,
+                    "outdir": str(outdir),
+                    "patch_size": patch_size,
+                    "overlap": overlap,
+                    "geojson": geojson,
+                    "token_patch_size": self.model.patch_size,
+                }
+                futures.append(pool.submit(postprocess_wsi_worker, payload))
+                self.logger.info(
+                    f"{wsi.name}: {len(records)} patches queued for postprocessing"
+                )
+                drain(block=False)
+            drain(block=True)
+        return results

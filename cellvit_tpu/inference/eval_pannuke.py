@@ -59,6 +59,8 @@ def _per_instance_types(
 class InferenceCellViT:
     """Patch-inference evaluator over a training run directory."""
 
+    model_family = "hv"  # "hv" | "stardist" | "cpp"
+
     def __init__(
         self,
         run_dir: Union[str, Path],
@@ -81,11 +83,25 @@ class InferenceCellViT:
 
         self._build_model()
 
-    def _build_model(self) -> None:
-        from cellvit_tpu.train import checkpoint as ckpt
+    def _experiment_class(self):
         from cellvit_tpu.train.experiment import ExperimentCellVitPanNuke
 
-        exp = ExperimentCellVitPanNuke.__new__(ExperimentCellVitPanNuke)
+        if self.model_family == "hv":
+            return ExperimentCellVitPanNuke
+        from cellvit_tpu.train.experiment_stardist import (
+            ExperimentCellViTCPP,
+            ExperimentCellViTStarDist,
+        )
+
+        return (
+            ExperimentCellViTStarDist
+            if self.model_family == "stardist"
+            else ExperimentCellViTCPP
+        )
+
+    def _build_model(self) -> None:
+        exp_cls = self._experiment_class()
+        exp = exp_cls.__new__(exp_cls)
         exp.run_conf = self.run_conf
         exp.dataset_config = self.dataset_config
         self.model = exp.get_train_model()
@@ -131,6 +147,22 @@ class InferenceCellViT:
             sampler=SequentialSampler(len(ds)), num_workers=8,
         )
 
+    # --------------------------------------------------------- postproc
+
+    def _postprocess_batch(self, out, *, object_size: int, ksize: int):
+        """Branch outputs → (instance maps, type argmax, binary argmax)."""
+        np_prob = jax.nn.softmax(out["nuclei_binary_map"].astype(jnp.float32), -1)
+        nt_prob = jax.nn.softmax(out["nuclei_type_map"].astype(jnp.float32), -1)
+        inst = instance_map_batch(
+            np_prob[..., 1], out["hv_map"].astype(jnp.float32),
+            object_size=object_size, ksize=ksize,
+        )
+        return (
+            np.asarray(inst),
+            np.asarray(jnp.argmax(nt_prob, -1)),
+            np.asarray(jnp.argmax(np_prob, -1)),
+        )
+
     # --------------------------------------------------------------- run
 
     def run_patch_inference(self, loader: Optional[DataLoader] = None) -> Dict:
@@ -150,15 +182,9 @@ class InferenceCellViT:
         for raw in loader:
             imgs = jnp.asarray(raw["image"])
             out = self._forward(self.variables, imgs)
-            np_prob = jax.nn.softmax(out["nuclei_binary_map"].astype(jnp.float32), -1)
-            nt_prob = jax.nn.softmax(out["nuclei_type_map"].astype(jnp.float32), -1)
-            inst = instance_map_batch(
-                np_prob[..., 1], out["hv_map"].astype(jnp.float32),
-                object_size=object_size, ksize=ksize,
+            inst_np, nt_argmax, np_argmax = self._postprocess_batch(
+                out, object_size=object_size, ksize=ksize
             )
-            inst_np = np.asarray(inst)
-            nt_argmax = np.asarray(jnp.argmax(nt_prob, -1))
-            np_argmax = np.asarray(jnp.argmax(np_prob, -1))
             tt_pred = np.asarray(jnp.argmax(out["tissue_types"], -1))
 
             gt_inst = raw["masks/instance_map"].astype(np.int32)

@@ -268,3 +268,73 @@ def test_polygon_intersection_area():
     area = dd.polygon_area(a)
     assert area == pytest.approx(121, rel=0.05)  # 11×11 rasterized
     assert inter == pytest.approx(36, rel=0.1)  # 6×6 rasterized overlap
+
+
+def test_parallel_detection_and_resume(preprocessed_wsi, detection_run):
+    """MP runner produces the same artifact set + flag-file resume."""
+    import jax.numpy as jnp
+
+    from cellvit_tpu.data.wsi import WSI
+    from cellvit_tpu.inference.cell_detection_mp import (
+        FLAG_FILE_NAME,
+        CellSegmentationInferenceParallel,
+    )
+    from cellvit_tpu.utils.logger import Logger
+
+    slide_path, patched, *_ = preprocessed_wsi
+    wsi = WSI(
+        name="slide1", patient="p1", slide_path=slide_path,
+        patched_slide_path=patched,
+    )
+    inf = CellSegmentationInferenceParallel.__new__(
+        CellSegmentationInferenceParallel
+    )
+    inf.logger = Logger(level="WARNING").create_logger()
+    inf.batch_size = 4
+    inf.max_instances = 512
+    inf.mean = np.array([0.5, 0.5, 0.5], np.float32)
+    inf.std = np.array([0.5, 0.5, 0.5], np.float32)
+    inf.num_nuclei_classes = 6
+    inf.run_conf = {"data": {"num_nuclei_classes": 6}}
+
+    class FakeModel:
+        patch_size = 16
+
+    inf.model = FakeModel()
+    from tests.test_wsi_pipeline import OracleInference
+
+    def forward(variables, x):
+        nb, hv, nt = OracleInference.forward(np.asarray(x))
+        b, h, w, _ = nb.shape
+        return {
+            "nuclei_binary_map": jnp.asarray(nb),
+            "hv_map": jnp.asarray(hv),
+            "nuclei_type_map": jnp.asarray(nt),
+            "tissue_types": jnp.zeros((b, 3)),
+            "tokens": jnp.zeros((b, h // 16, w // 16, 8)),
+        }
+
+    inf.variables = {}
+    inf._forward = forward
+
+    results = inf.process_wsi_filelist(
+        [wsi], n_workers=2, patch_size=256, overlap=64, geojson=True,
+        subdir_name="mp",
+    )
+    assert len(results) == 1
+    outdir = Path(results[0][0])
+    n_cells_mp = results[0][1]
+    assert (outdir / "cells.json").exists()
+    assert (outdir / "cells.zip").exists()
+    assert (outdir / FLAG_FILE_NAME).exists()
+
+    # same cell count as the single-WSI pipeline
+    _, serial_outdir = detection_run
+    serial = json.loads((serial_outdir / "cells.json").read_text())
+    assert n_cells_mp == len(serial["cells"])
+
+    # resume: flag file short-circuits
+    results2 = inf.process_wsi_filelist(
+        [wsi], n_workers=2, patch_size=256, overlap=64, subdir_name="mp"
+    )
+    assert results2 == []
