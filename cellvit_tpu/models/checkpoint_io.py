@@ -427,7 +427,7 @@ def build_model_from_config(arch: str, run_conf: Dict[str, Any]) -> CellViT:
         num_tissue_classes=data["num_tissue_classes"],
         regression_loss=mcfg.get("regression_loss", False),
     )
-    if arch in ("CellViT", "CellViTShared"):
+    if arch == "CellViT":
         return CellViT(
             embed_dim=mcfg["embed_dim"],
             depth=mcfg["depth"],
@@ -436,10 +436,29 @@ def build_model_from_config(arch: str, run_conf: Dict[str, Any]) -> CellViT:
             encoder_type="histo",
             **common,
         )
-    if arch in ("CellViT256", "CellViT256Shared"):
+    if arch == "CellViT256":
         return CellViT256(**common)
-    if arch in ("CellViTSAM", "CellViTSAMShared"):
+    if arch == "CellViTSAM":
         return CellViTSAM(vit_structure=mcfg["backbone"], **common)
+    if arch.endswith("Shared"):
+        from cellvit_tpu.models.shared import (
+            CellViT256Shared,
+            CellViTSAMShared,
+            CellViTShared,
+        )
+
+        if arch == "CellViT256Shared":
+            return CellViT256Shared(**common)
+        if arch == "CellViTSAMShared":
+            return CellViTSAMShared(vit_structure=mcfg["backbone"], **common)
+        return CellViTShared(
+            embed_dim=mcfg["embed_dim"],
+            depth=mcfg["depth"],
+            num_heads=mcfg["num_heads"],
+            extract_layers=tuple(mcfg["extract_layers"]),
+            encoder_type="histo",
+            **common,
+        )
     raise NotImplementedError(f"unknown arch {arch}")
 
 
