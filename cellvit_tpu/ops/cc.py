@@ -39,9 +39,50 @@ def _neighbor_min(lab: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(fg, out, big)
 
 
-def connected_components(fg: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
+def _segmented_min_scan(v: jnp.ndarray, bg: jnp.ndarray, axis: int, reverse: bool):
+    """Min-scan along `axis` that resets at background pixels.
+
+    Monoid on (value, reset): combine(a, b) = (b.v if b.reset else
+    min(a.v, b.v), a.reset | b.reset) — the standard segmented-scan
+    construction, running on `associative_scan` (O(log N) depth, pure VPU,
+    no gathers)."""
+
+    def comb(a, b):
+        av, ag = a
+        bv, bg_ = b
+        return jnp.where(bg_, bv, jnp.minimum(av, bv)), ag | bg_
+
+    out, _ = jax.lax.associative_scan(
+        comb, (v, bg), axis=axis, reverse=reverse
+    )
+    return out
+
+
+def _propagate_pass(lab: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    """One sweep: directional segmented min-scans (E, W, S, N) restricted to
+    foreground runs, then a 4-neighbor min. Labels flood along straight
+    lines in one shot, so blob-shaped components converge in a couple of
+    passes (one pass per 'turn' of the component shape in general)."""
+    bg = ~fg
+    v = jnp.where(fg, lab, INT_MAX)
+    for axis in (0, 1):
+        for reverse in (False, True):
+            v = _segmented_min_scan(v, bg, axis=axis, reverse=reverse)
+            v = jnp.where(fg, v, INT_MAX)
+    return _neighbor_min(v, fg)
+
+
+def connected_components(fg: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
     """4-connected labeling of a bool (H, W) mask → int32 (H, W), background
-    0, components numbered 1..N in scipy raster order."""
+    0, components numbered 1..N in scipy raster order.
+
+    Data-parallel construction chosen for TPU: per-pixel gathers (the
+    classic pointer-jumping CC) run ~100× slower than vector ops on the
+    VPU, so propagation uses segmented min-scans along rows/columns
+    (associative_scan) + neighbor mins — a full straight-line flood per
+    pass, `max_iters` bounds the number of shape 'turns' a component may
+    have (a 64-spiral worst case; nuclei converge in 2-3 passes).
+    """
     h, w = fg.shape
     n = h * w
     idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
@@ -49,12 +90,7 @@ def connected_components(fg: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
 
     def body(state):
         lab, _, it = state
-        new = _neighbor_min(lab, fg)
-        # pointer jump: follow the label to its own current label
-        flat = new.reshape(-1)
-        target = flat[jnp.clip(flat, 0, n - 1)]
-        jumped = jnp.minimum(flat, jnp.where(flat < n, target, flat))
-        new = jnp.where(fg, jumped.reshape(h, w), INT_MAX)
+        new = _propagate_pass(lab, fg)
         return new, jnp.any(new != lab), it + 1
 
     def cond(state):
@@ -63,11 +99,9 @@ def connected_components(fg: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
 
     lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.asarray(True), 0))
 
-    # one final full path-compression sweep: labels point at roots
+    # compact to consecutive ids in root raster order (scipy numbering);
+    # after convergence every pixel holds its component's min linear index
     flat = lab.reshape(-1)
-    for _ in range(2):
-        flat = jnp.where(flat < n, flat[jnp.clip(flat, 0, n - 1)], flat)
-    # compact to consecutive ids in root raster order (scipy numbering)
     is_root = (flat == jnp.arange(n, dtype=jnp.int32)) & fg.reshape(-1)
     new_id = jnp.cumsum(is_root.astype(jnp.int32))  # 1-based at roots
     compact = jnp.where(
