@@ -95,6 +95,24 @@ class SamAttention(nn.Module):
         qkv = qkv.reshape(b, h * w, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, nh, hd)
 
+        # global attention over big grids (1024² tiles → 64×64 tokens):
+        # flash kernel with the decomposed rel-pos bias folded in
+        if self.use_rel_pos and h * w >= 1024 and h * w % 256 == 0:
+            from cellvit_tpu.ops.attention import flash_attention_relpos
+
+            n_table = 2 * self.rel_pos_dim - 1
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (n_table, hd), jnp.float32
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (n_table, hd), jnp.float32
+            )
+            rh = gather_rel_pos(rel_pos_h, h)
+            rw = gather_rel_pos(rel_pos_w, w)
+            out = flash_attention_relpos(q, k, v, rh, rw, grid_hw=(h, w))
+            out = out.reshape(b, h, w, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
         attn = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale  # (B, nh, N, N)

@@ -53,6 +53,19 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+
+        # large token counts (1024² tiles → 4097 tokens): Pallas flash
+        # attention avoids materializing the O(N²·heads) logits; inference
+        # only (no attn dropout, no custom VJP needed at 256² training)
+        if n >= 1024 and not train:  # no custom VJP: inference only
+            from cellvit_tpu.ops.attention import flash_attention
+
+            out = flash_attention(q, k, v).reshape(b, n, c)
+            out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+            if self.dropout > 0.0:
+                out = nn.Dropout(self.dropout, deterministic=not train)(out)
+            return out
+
         attn = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale

@@ -35,8 +35,9 @@ def _proc_single(
     n_seg = h * w // 2 + 2
 
     fg = np_prob >= 0.5
-    lab = cc.connected_components(fg, max_iters=cc_iters)
-    lab = cc.remove_small_objects(lab, 10, n_seg)
+    # only the cleaned mask is needed here — skip label compaction
+    lab = cc.connected_components(fg, max_iters=cc_iters, compact=False)
+    lab = cc.remove_small_objects(lab, 10, h * w + 1)
     blb = lab > 0
     blbf = blb.astype(jnp.float32)
 

@@ -60,6 +60,11 @@ class PreProcessingConfig:
     wsi_extension: str = "svs"
     wsi_properties: Dict = field(default_factory=dict)
     label_map: Dict[str, int] = field(default_factory=lambda: {"background": 0})
+    annotation_paths: Optional[str] = None
+    annotation_extension: str = "geojson"
+    incl_annotation_masks: bool = False
+    tissue_annotation: Optional[str] = None
+    min_intersection_ratio_annotation: float = 0.0
 
     def __post_init__(self):
         assert 0 <= self.patch_overlap < 100
@@ -206,6 +211,21 @@ class PreProcessor:
         base_mag = reader.magnification or cfg.wsi_properties.get("magnification")
         base_mpp = reader.mpp or cfg.wsi_properties.get("slide_mpp")
 
+        # annotations (polygons in level-0 coordinates)
+        polygons, region_labels = [], []
+        if cfg.annotation_paths:
+            ann_file = (
+                Path(cfg.annotation_paths)
+                / f"{name}.{cfg.annotation_extension}"
+            )
+            if ann_file.exists():
+                from cellvit_tpu.preprocessing.annotations import load_annotations
+
+                polygons, region_labels = load_annotations(ann_file)
+                (wsi_out / "annotation_masks").mkdir(exist_ok=True)
+            else:
+                self.logger.warning(f"no annotation file for {name}")
+
         interesting, tissue_mask = self._interesting_patches(reader, level, rescale)
         self.logger.info(
             f"{name}: level {level} (downsample {total_downsample}), "
@@ -249,15 +269,33 @@ class PreProcessor:
                 (r[0], r[1], p, r[3]) for r, p in zip(results, patches)
             ]
 
+        from cellvit_tpu.preprocessing.annotations import get_intersected_labels
+
+        total_ds = total_downsample
         patch_index = []
         for row, col, patch, bg_ratio in results:
             patch_name = f"{name}_{row}_{col}.png"
             Image.fromarray(patch).save(wsi_out / "patches" / patch_name)
+            intersected, ratios = [], []
+            if polygons:
+                intersected, ratios, ann_mask = get_intersected_labels(
+                    self.tile_size, self.overlap_px, row, col, cfg.label_map,
+                    polygons, region_labels,
+                    min_intersection_ratio=cfg.min_intersection_ratio_annotation,
+                    store_masks=cfg.incl_annotation_masks,
+                    downsample=total_ds,
+                )
+                if cfg.incl_annotation_masks and ann_mask is not None:
+                    np.save(
+                        wsi_out / "annotation_masks" / f"{name}_{row}_{col}.npy",
+                        ann_mask.astype(np.int32),
+                    )
             meta = {
                 "row": row,
                 "col": col,
                 "background_ratio": float(bg_ratio),
-                "intersected_labels": [],
+                "intersected_labels": intersected,
+                "label_ratios": ratios,
                 "metadata_path": f"./metadata/{name}_{row}_{col}.yaml",
             }
             (wsi_out / "metadata" / f"{name}_{row}_{col}.yaml").write_text(
