@@ -56,6 +56,16 @@ class WSI:
         meta["name"] = patch_name
         return meta
 
+    def load_embedding(self):
+        """Load a precomputed WSI embedding from embeddings/<name>.pt
+        (reference wsi_datamodel.py:173-193)."""
+        import torch
+
+        path = self.patched_slide_path / "embeddings" / f"{self.embedding_name}.pt"
+        if not path.is_file():
+            raise FileNotFoundError(f"embedding not found: {path}")
+        return torch.load(path)
+
     def process_patch_image(self, patch_name: str) -> Tuple[np.ndarray, Dict]:
         from PIL import Image
 

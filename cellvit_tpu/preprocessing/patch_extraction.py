@@ -65,6 +65,7 @@ class PreProcessingConfig:
     incl_annotation_masks: bool = False
     tissue_annotation: Optional[str] = None
     min_intersection_ratio_annotation: float = 0.0
+    context_scales: Optional[Sequence[int]] = None  # e.g. [2, 4]
 
     def __post_init__(self):
         assert 0 <= self.patch_overlap < 100
@@ -205,6 +206,9 @@ class PreProcessor:
         wsi_out = self.output / name
         for sub in ("patches", "metadata", "thumbnails", "tissue_masks"):
             (wsi_out / sub).mkdir(parents=True, exist_ok=True)
+        if cfg.context_scales:
+            for scale in cfg.context_scales:
+                (wsi_out / "context" / str(scale)).mkdir(parents=True, exist_ok=True)
 
         reader = open_slide(str(wsi_path))
         level, rescale, total_downsample = self._resolve_level(reader)
@@ -272,10 +276,31 @@ class PreProcessor:
         from cellvit_tpu.preprocessing.annotations import get_intersected_labels
 
         total_ds = total_downsample
+        context_reader = open_slide(str(wsi_path)) if cfg.context_scales else None
+
         patch_index = []
         for row, col, patch, bg_ratio in results:
             patch_name = f"{name}_{row}_{col}.png"
             Image.fromarray(patch).save(wsi_out / "patches" / patch_name)
+            if cfg.context_scales:
+                # context patches: same center, scale× the field of view,
+                # resized to patch_size (reference patch_extraction.py:889-906)
+                p_sz = cfg.patch_size
+                cx = (col * self.tile_size - self.overlap_px + p_sz / 2) * rescale
+                cy = (row * self.tile_size - self.overlap_px + p_sz / 2) * rescale
+                for scale in cfg.context_scales:
+                    import cv2 as _cv2
+
+                    src = int(round(p_sz * rescale * scale))
+                    region = context_reader.read_region(
+                        (int(cx - src / 2), int(cy - src / 2)), level, (src, src)
+                    )
+                    ctx = _cv2.resize(
+                        region, (p_sz, p_sz), interpolation=_cv2.INTER_AREA
+                    )
+                    Image.fromarray(ctx).save(
+                        wsi_out / "context" / str(scale) / patch_name
+                    )
             intersected, ratios = [], []
             if polygons:
                 intersected, ratios, ann_mask = get_intersected_labels(
