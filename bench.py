@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_A100_PPS = 8.0  # estimated A100 1024² patches/sec, torch reference
-BATCH = 4
+BATCH = 8
 TILE = 1024
 WARMUP = 2
 ITERS = 5
