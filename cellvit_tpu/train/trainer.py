@@ -99,13 +99,29 @@ class CellViTTrainer:
 
     # ------------------------------------------------------------- state
 
-    def create_state(self, variables: Dict) -> TrainState:
+    def create_state(
+        self, variables: Dict, keep_param_shardings: bool = False
+    ) -> TrainState:
+        """Optimizer-initialized TrainState on the mesh.
+
+        With `keep_param_shardings`, params keep their existing (e.g.
+        tensor-parallel) placement and the optimizer state inherits it via
+        zeros_like; otherwise everything is replicated.
+        """
         state = TrainState(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
             opt_state=self.optimizer.init(variables["params"]),
             step=jnp.zeros((), jnp.int32),
         )
+        if keep_param_shardings:
+            repl = meshlib.replicate(self.mesh)
+            return state.replace(
+                batch_stats=jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, repl), state.batch_stats
+                ),
+                step=jax.device_put(state.step, repl),
+            )
         repl = meshlib.replicate(self.mesh)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
 

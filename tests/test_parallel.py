@@ -1,0 +1,59 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from cellvit_tpu.parallel import make_mesh, shard_batch
+from cellvit_tpu.parallel.partitioning import apply_tp_shardings
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    batch = {"image": np.zeros((16, 8, 8, 3), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    spec = sharded["image"].sharding.spec
+    assert spec == P("data")
+
+
+def test_tp_shardings_on_encoder():
+    from tests.test_models_forward import tiny_cellvit
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = tiny_cellvit()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    placed = apply_tp_shardings(variables, mesh)
+    qkv = placed["params"]["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    proj = placed["params"]["encoder"]["blocks_0"]["attn"]["proj"]["kernel"]
+    fc1 = placed["params"]["encoder"]["blocks_0"]["mlp"]["fc1"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+    assert proj.sharding.spec == P("model", None)
+    assert fc1.sharding.spec == P(None, "model")
+    # decoders replicated
+    dec = jax.tree_util.tree_leaves(placed["params"]["hv_map_decoder"])[0]
+    assert dec.sharding.spec == P()
+    # forward still correct vs replicated run
+    x = jnp.ones((2, 64, 64, 3))
+    out_ref = model.apply(variables, x, train=False)
+    out_tp = model.apply(placed, x, train=False)
+    for k in out_ref:
+        np.testing.assert_allclose(
+            np.asarray(out_ref[k]), np.asarray(out_tp[k]), atol=1e-5
+        )
+
+
+def test_dryrun_multichip_dp_tp():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # (data=4, model=2) mesh inside
