@@ -28,10 +28,11 @@ def main() -> None:
         raise NotImplementedError(f"unknown dataset {dataset}")
 
     if config.get("run_sweep"):
-        raise NotImplementedError(
-            "wandb sweeps need the wandb package; run the agent on a machine "
-            "with wandb installed or drop --sweep"
-        )
+        from cellvit_tpu.train.sweeper import run_sweep
+
+        best, _ = run_sweep(config, experiment_class)
+        print(f"sweep finished; best run: {best}")
+        return
 
     experiment = experiment_class(config, checkpoint=config.get("checkpoint"))
     run_dir, model, trainer, state = experiment.run_experiment()

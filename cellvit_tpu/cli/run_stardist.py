@@ -13,7 +13,11 @@ def main() -> None:
 
     config, args = ExperimentBaseParser().parse_arguments()
     if config.get("run_sweep"):
-        raise NotImplementedError("sweeps require the wandb package")
+        from cellvit_tpu.train.sweeper import run_sweep
+
+        best, _ = run_sweep(config, ExperimentCellViTStarDist)
+        print(f"sweep finished; best run: {best}")
+        return
     experiment = ExperimentCellViTStarDist(
         config, checkpoint=config.get("checkpoint")
     )

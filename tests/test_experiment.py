@@ -113,3 +113,45 @@ def test_resume_from_checkpoint(e2e_run, tmp_path):
     run_dir2, _, _, state = experiment.run_experiment()
     # resumed at epoch 2 (after 0,1) and trained one more
     assert int(state.step) > 0
+
+
+def test_sweep_enumeration():
+    from cellvit_tpu.train.sweeper import enumerate_configs
+
+    sweep = {"method": "grid", "run_cap": 10}
+    params = {
+        "training": {"optimizer_hyperparameter": {"lr": {"values": [1e-3, 1e-4]}}},
+        "training.batch_size": {"values": [4, 8]},
+    }
+    combos = enumerate_configs(sweep, params)
+    assert len(combos) == 4
+    assert all("training.batch_size" in c for c in combos)
+
+    rand = enumerate_configs(
+        {"method": "random", "run_cap": 5},
+        {"training.sampling_gamma": {"min": 0.0, "max": 1.0}},
+        seed=1,
+    )
+    assert len(rand) == 5
+    assert all(0.0 <= c["training.sampling_gamma"] <= 1.0 for c in rand)
+
+
+def test_local_sweep_runs(tmp_path):
+    from cellvit_tpu.train.experiment import ExperimentCellVitPanNuke
+    from cellvit_tpu.train.sweeper import run_sweep
+    from tests.synth import make_pannuke_dataset
+
+    root = make_pannuke_dataset(tmp_path / "data", folds=(0, 1), n_images=4)
+    config = make_config(root, tmp_path / "runs")
+    config["training"]["epochs"] = 1
+    config["sweep"] = {
+        "method": "grid",
+        "metric": {"name": "bPQ", "goal": "maximize"},
+    }
+    config["parameters"] = {
+        "training.optimizer_hyperparameter.lr": {"values": [1e-3, 1e-4]},
+    }
+    best, records = run_sweep(config, ExperimentCellVitPanNuke)
+    assert len(records) == 2
+    assert (tmp_path / "runs" / "sweep_results.json").exists()
+    assert best and "bPQ" in best
