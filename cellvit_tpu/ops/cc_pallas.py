@@ -2,18 +2,23 @@
 
 The XLA formulations in `cellvit_tpu.ops.cc` stream the full label map
 through HBM on every propagation pass (~20 sweeps per associative_scan).
-These kernels instead keep one (H, W) image resident in VMEM (4 MB int32 at
-1024², within the ~16 MB budget) and run all propagation sweeps locally:
+These kernels keep one (H, W) image resident in VMEM (4 MB int32 at 1024²)
+and run all propagation locally as **doubling segmented scans**: per
+direction, log₂(N) steps of
 
-* one outer iteration = down + up raster sweeps (sequential row recurrence
-  over VMEM refs — full vertical flood), a VMEM transpose, down + up again
-  (horizontal flood), transpose back;
-* `n_outer` is fixed (no convergence check): each iteration resolves one
-  "turn" of a component's shape; nuclei need 2, tissue backgrounds ~4.
+    v ← b ? v : min(v, roll(v, k));   b ← b | roll(b, k)
+
+where b marks "segment boundary within the last k elements" (background
+pixels reset propagation) and rolled-in wraparound counts as a boundary.
+Four directions × log₂(N) steps = one full straight-line flood per outer
+iteration — everything static full-array vector ops (`pltpu.roll`), no
+dynamic slicing, no gathers.
 
 `connected_components_pallas` emits root labels (component-min linear
-index + 1, background 0 — same as `cc.connected_components(compact=False)`)
-and `flood_pallas` boolean border-reachability (fill_holes support).
+index + 1, background 0 — matching `cc.connected_components(compact=False)`)
+and `flood_pallas` boolean reachability (fill_holes support). `n_outer` is
+fixed: each iteration resolves one shape "turn" (nuclei need 2, tissue
+backgrounds ~4).
 """
 
 from __future__ import annotations
@@ -29,54 +34,49 @@ from jax.experimental.pallas import tpu as pltpu
 INT_MAX = np.iinfo(np.int32).max
 
 
-def _sweep_rows_min(buf_ref, fg_ref, h: int):
-    """In-place down+up raster sweeps on (H, W) VMEM refs: row recurrence
-    new[i] = fg[i] ? min(buf[i], fg[i±1] ? buf[i±1] : INT_MAX) : INT_MAX."""
-
-    def down(i, _):
-        prev = buf_ref[pl.ds(i - 1, 1), :]
-        fprev = fg_ref[pl.ds(i - 1, 1), :]
-        cur = buf_ref[pl.ds(i, 1), :]
-        fcur = fg_ref[pl.ds(i, 1), :]
-        cand = jnp.where(fprev != 0, prev, INT_MAX)
-        buf_ref[pl.ds(i, 1), :] = jnp.where(
-            fcur != 0, jnp.minimum(cur, cand), INT_MAX
-        )
-        return 0
-
-    def up(j, _):
-        i = h - 2 - j
-        nxt = buf_ref[pl.ds(i + 1, 1), :]
-        fnxt = fg_ref[pl.ds(i + 1, 1), :]
-        cur = buf_ref[pl.ds(i, 1), :]
-        fcur = fg_ref[pl.ds(i, 1), :]
-        cand = jnp.where(fnxt != 0, nxt, INT_MAX)
-        buf_ref[pl.ds(i, 1), :] = jnp.where(
-            fcur != 0, jnp.minimum(cur, cand), INT_MAX
-        )
-        return 0
-
-    jax.lax.fori_loop(1, h, down, 0)
-    jax.lax.fori_loop(0, h - 1, up, 0)
+def _directional_segmin(v, barrier, axis: int, reverse: bool, size: int):
+    """Inclusive segmented min-scan along `axis` via doubling rolls."""
+    b = barrier
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    shift = 1
+    while shift < size:
+        amt = shift if not reverse else size - shift  # roll shifts ≥ 0
+        v_s = pltpu.roll(v, amt, axis)
+        b_s = pltpu.roll(b, amt, axis)
+        if not reverse:
+            wrapped = idx < shift
+        else:
+            wrapped = idx >= size - shift
+        v_s = jnp.where(wrapped, INT_MAX, v_s)
+        b_s = jnp.where(wrapped, 1, b_s)
+        v = jnp.where(b != 0, v, jnp.minimum(v, v_s))
+        b = b | b_s
+        shift *= 2
+    return v
 
 
-def _cc_kernel(fg_ref, lab_ref, buf_ref, fgt_ref, buft_ref, *, n_outer: int):
+def _propagate(v, fg, h: int, w: int):
+    """One full flood pass: 4 directional segmented min-scans + clamp."""
+    barrier = (fg == 0).astype(jnp.int32)
+    for axis, size in ((0, h), (1, w)):
+        for reverse in (False, True):
+            v = _directional_segmin(v, barrier, axis, reverse, size)
+            v = jnp.where(fg != 0, v, INT_MAX)
+    return v
+
+
+def _cc_kernel(fg_ref, lab_ref, *, n_outer: int):
     h, w = lab_ref.shape[1], lab_ref.shape[2]
     fg = fg_ref[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    buf_ref[...] = jnp.where(fg != 0, row * w + col, INT_MAX)
-    fgt_ref[...] = fg.T
+    v = jnp.where(fg != 0, row * w + col, INT_MAX)
 
-    def outer(_, carry):
-        _sweep_rows_min(buf_ref, fg_ref.at[0], h)
-        buft_ref[...] = buf_ref[...].T
-        _sweep_rows_min(buft_ref, fgt_ref, w)
-        buf_ref[...] = buft_ref[...].T
-        return carry
+    def outer(_, v):
+        return _propagate(v, fg, h, w)
 
-    jax.lax.fori_loop(0, n_outer, outer, 0)
-    lab_ref[0] = jnp.where(fg != 0, buf_ref[...] + 1, 0).astype(jnp.int32)
+    v = jax.lax.fori_loop(0, n_outer, outer, v)
+    lab_ref[0] = jnp.where(fg != 0, v + 1, 0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_outer", "interpret"))
@@ -91,55 +91,48 @@ def connected_components_pallas(
         in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((h, w), jnp.int32),
-            pltpu.VMEM((w, h), jnp.int8),
-            pltpu.VMEM((w, h), jnp.int32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(2.5 * (2 * h * w * 4 + 2 * h * w)) + 2**21
+            vmem_limit_bytes=int(5 * h * w * 4) + 2**21
         ),
         interpret=interpret,
-    )(fg.astype(jnp.int8))
+    )(fg.astype(jnp.int32))
 
 
-def _sweep_rows_or(buf_ref, open_ref, h: int):
-    def down(i, _):
-        prev = buf_ref[pl.ds(i - 1, 1), :]
-        cur = buf_ref[pl.ds(i, 1), :]
-        op = open_ref[pl.ds(i, 1), :]
-        buf_ref[pl.ds(i, 1), :] = jnp.where(op != 0, cur | prev, 0)
-        return 0
+def _directional_segor(v, barrier, axis: int, reverse: bool, size: int):
+    b = barrier
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    shift = 1
+    while shift < size:
+        amt = shift if not reverse else size - shift  # roll shifts ≥ 0
+        v_s = pltpu.roll(v, amt, axis)
+        b_s = pltpu.roll(b, amt, axis)
+        if not reverse:
+            wrapped = idx < shift
+        else:
+            wrapped = idx >= size - shift
+        v_s = jnp.where(wrapped, 0, v_s)
+        b_s = jnp.where(wrapped, 1, b_s)
+        v = jnp.where(b != 0, v, v | v_s)
+        b = b | b_s
+        shift *= 2
+    return v
 
-    def up(j, _):
-        i = h - 2 - j
-        nxt = buf_ref[pl.ds(i + 1, 1), :]
-        cur = buf_ref[pl.ds(i, 1), :]
-        op = open_ref[pl.ds(i, 1), :]
-        buf_ref[pl.ds(i, 1), :] = jnp.where(op != 0, cur | nxt, 0)
-        return 0
 
-    jax.lax.fori_loop(1, h, down, 0)
-    jax.lax.fori_loop(0, h - 1, up, 0)
-
-
-def _flood_kernel(seed_ref, open_ref, out_ref, buf_ref, opent_ref, buft_ref,
-                  *, n_outer: int):
+def _flood_kernel(seed_ref, open_ref, out_ref, *, n_outer: int):
     h, w = out_ref.shape[1], out_ref.shape[2]
-    buf_ref[...] = (seed_ref[0] != 0).astype(jnp.int8) * (
-        open_ref[0] != 0
-    ).astype(jnp.int8)
-    opent_ref[...] = open_ref[0].T
+    open_ = open_ref[0]
+    barrier = (open_ == 0).astype(jnp.int32)
+    v = seed_ref[0] * open_
 
-    def outer(_, carry):
-        _sweep_rows_or(buf_ref, open_ref.at[0], h)
-        buft_ref[...] = buf_ref[...].T
-        _sweep_rows_or(buft_ref, opent_ref, w)
-        buf_ref[...] = buft_ref[...].T
-        return carry
+    def one_pass(v):
+        for axis, size in ((0, h), (1, w)):
+            for reverse in (False, True):
+                v = _directional_segor(v, barrier, axis, reverse, size)
+                v = v * open_
+        return v
 
-    jax.lax.fori_loop(0, n_outer, outer, 0)
-    out_ref[0] = buf_ref[...]
+    v = jax.lax.fori_loop(0, n_outer, lambda _, v: one_pass(v), v)
+    out_ref[0] = v.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_outer", "interpret"))
@@ -158,17 +151,12 @@ def flood_pallas(
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int8),
-        scratch_shapes=[
-            pltpu.VMEM((h, w), jnp.int8),
-            pltpu.VMEM((w, h), jnp.int8),
-            pltpu.VMEM((w, h), jnp.int8),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=8 * h * w + 2**21
+            vmem_limit_bytes=int(5 * h * w * 4) + 2**21
         ),
         interpret=interpret,
-    )(seed.astype(jnp.int8), open_.astype(jnp.int8))
+    )(seed.astype(jnp.int32), open_.astype(jnp.int32))
     return out != 0
 
 

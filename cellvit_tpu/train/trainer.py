@@ -293,10 +293,16 @@ class CellViTTrainer:
         return state, scalars
 
     def validation_epoch(
-        self, state: TrainState, loader, epoch: int, compute_pq: bool = True
+        self,
+        state: TrainState,
+        loader,
+        epoch: int,
+        compute_pq: bool = True,
+        log_images: bool = False,
     ) -> Tuple[Dict[str, float], float]:
         meters: Dict[str, AverageMeter] = {}
         pq_scores: List[float] = []
+        plotted = not log_images
         for raw in loader:
             batch = prepare_batch(raw, self.tissue_types)
             inst_gt = batch.pop("instance_map")
@@ -306,6 +312,9 @@ class CellViTTrainer:
                 meters.setdefault(k, AverageMeter(k)).update(float(v))
             if compute_pq:
                 pq_scores.extend(self._batch_pq(preds, inst_gt))
+            if not plotted and self.log_dir is not None:
+                self._plot_examples(batch, preds, inst_gt, epoch)
+                plotted = True
         scalars = {k: m.avg for k, m in meters.items()}
         mean_pq = float(np.mean(pq_scores)) if pq_scores else 0.0
         scalars["bPQ"] = mean_pq
@@ -314,6 +323,30 @@ class CellViTTrainer:
                 {f"Validation/{k}": v for k, v in scalars.items()}, step=epoch
             )
         return scalars, mean_pq
+
+    def _plot_examples(self, batch, preds, inst_gt, epoch: int) -> None:
+        """Write a validation example panel (reference
+        trainer_cellvit.py:842-1029)."""
+        from cellvit_tpu.utils.plotting import generate_example_image
+
+        ksize, object_size = (21, 10) if self.magnification == 40 else (11, 3)
+        nb = np.asarray(preds["nuclei_binary_map"])
+        inst_pred = np.asarray(
+            instance_map_batch(
+                jnp.asarray(nb[..., 1]), jnp.asarray(np.asarray(preds["hv_map"])),
+                object_size=object_size, ksize=ksize,
+            )
+        )
+        generate_example_image(
+            np.asarray(batch["image"]),
+            inst_pred,
+            np.asarray(inst_gt),
+            nb.argmax(-1),
+            np.asarray(batch["nuclei_binary_map"]),
+            hv_pred=np.asarray(preds["hv_map"]),
+            hv_gt=np.asarray(batch["hv_map"]),
+            outfile=self.log_dir / "examples" / f"epoch_{epoch:03d}.png",
+        )
 
     def _batch_pq(self, preds: Dict, inst_gt: np.ndarray) -> List[float]:
         """Binary PQ per image: device HV postproc → host pairing."""

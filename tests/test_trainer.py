@@ -167,3 +167,23 @@ def test_lr_schedules():
     cos = make_lr_schedule("cosine", 1.0, 100, 1, eta_min=0.0)
     assert float(cos(0)) == pytest.approx(1.0)
     assert float(cos(50)) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_plotting_examples(tmp_path, setup):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from cellvit_tpu.utils.plotting import generate_example_image
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    inst = np.zeros((2, 64, 64), np.int32)
+    inst[:, 10:20, 10:20] = 1
+    out = tmp_path / "examples" / "epoch_000.png"
+    generate_example_image(
+        imgs, inst, inst, (inst > 0).astype(np.int32), (inst > 0).astype(np.int32),
+        hv_pred=rng.uniform(-1, 1, (2, 64, 64, 2)).astype(np.float32),
+        hv_gt=rng.uniform(-1, 1, (2, 64, 64, 2)).astype(np.float32),
+        outfile=out,
+    )
+    assert out.exists() and out.stat().st_size > 1000
