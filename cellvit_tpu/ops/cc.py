@@ -118,6 +118,20 @@ def connected_components(
     return compact.reshape(h, w).astype(jnp.int32)
 
 
+def compact_root_labels(lab: jnp.ndarray) -> jnp.ndarray:
+    """Root labels (component-min linear index + 1, 0 = background) →
+    consecutive 1..N in raster order of roots (scipy numbering). Used to
+    compact the output of the Pallas CC kernel."""
+    h, w = lab.shape
+    n = h * w
+    flat = lab.reshape(-1)
+    fg = flat > 0
+    is_root = fg & (flat - 1 == jnp.arange(n, dtype=lab.dtype))
+    new_id = jnp.cumsum(is_root.astype(jnp.int32))
+    compact = jnp.where(fg, new_id[jnp.clip(flat - 1, 0, n - 1)], 0)
+    return compact.reshape(h, w).astype(jnp.int32)
+
+
 def component_sizes(labels: jnp.ndarray, num_segments: int) -> jnp.ndarray:
     """Pixel count per label id (index 0 = background)."""
     return jnp.zeros(num_segments, jnp.int32).at[labels.reshape(-1)].add(1)

