@@ -48,8 +48,10 @@ def _instance_map_impl(
             fill_holes_pallas,
         )
 
-        label_roots = lambda m: connected_components_pallas(m, n_outer=4)
-        fill = lambda m: fill_holes_pallas(m, n_outer=4)
+        # nuclei blobs converge in 2 propagation passes, U-shapes in 3;
+        # marker holes are a few pixels wide — 2 flood passes suffice
+        label_roots = lambda m: connected_components_pallas(m, n_outer=3)
+        fill = lambda m: fill_holes_pallas(m, n_outer=2)
     else:
         label_roots = jax.vmap(
             lambda m: cc.connected_components(m, max_iters=cc_iters, compact=False)
