@@ -361,6 +361,35 @@ class ExperimentCellVitPanNuke(BaseExperiment):
             start_epoch=start_epoch,
         )
         metric_logger.close()
+
+        # torch-schema export for interoperability (reference .pth layout)
+        if cfg.get("export_torch_checkpoint", False):
+            backbone = str(cfg["model"].get("backbone", "default"))
+            if backbone.upper().startswith("SAM"):
+                arch = "CellViTSAM"
+            elif backbone.lower() in ("vit256", "vit-256"):
+                arch = "CellViT256"
+            else:
+                arch = "CellViT"
+            flat_cfg = flatten_dict(cfg)
+            # the reference rebuilds models from the embedded config —
+            # make sure the class counts are present
+            flat_cfg.setdefault(
+                "data.num_tissue_classes",
+                len(self.dataset_config["tissue_types"]),
+            )
+            try:
+                ckpt.export_reference_checkpoint(
+                    run_dir / "checkpoints" / "latest_checkpoint.pth",
+                    state,
+                    arch=arch,
+                    flat_config=flat_cfg,
+                    epoch=tcfg["epochs"] - 1,
+                    sam_encoder=model.encoder_type == "sam",
+                )
+                logger.info("exported torch checkpoint latest_checkpoint.pth")
+            except Exception as e:  # StarDist/CPP archs export via their own maps
+                logger.warning(f"torch export failed: {e}")
         return run_dir, model, trainer, state
 
     def get_trainer(self):

@@ -83,3 +83,43 @@ def make_pannuke_dataset(root: Path, folds=(0,), n_images=6, seed=0, size=64):
         )
     )
     return root
+
+
+def make_conic_dataset(root: Path, folds=(0,), n_images=6, seed=0, size=64):
+    """Synthetic dataset in CoNIC layout (conic.py contract): per fold
+    images.npy (N, H, W, 3), labels.npy (N, H, W, 2), types.csv,
+    cell_count.npy."""
+    import yaml
+
+    rng = np.random.default_rng(seed)
+    root = Path(root)
+    for fold in folds:
+        fold_dir = root / f"fold{fold}"
+        fold_dir.mkdir(parents=True, exist_ok=True)
+        imgs, lbls, counts = [], [], []
+        types_rows = ["img,type"]
+        for i in range(n_images):
+            img, inst, typ = random_instance_image(rng, h=size, w=size, n_types=7)
+            imgs.append(img)
+            lbls.append(np.stack([inst, typ], axis=-1))
+            counts.append(
+                [int(((typ == c) & (inst > 0)).any()) for c in range(1, 7)]
+            )
+            types_rows.append(f"{fold}_{i}.png,colon")
+        np.save(fold_dir / "images.npy", np.stack(imgs))
+        np.save(fold_dir / "labels.npy", np.stack(lbls))
+        np.save(fold_dir / "cell_count.npy", np.array(counts))
+        (fold_dir / "types.csv").write_text("\n".join(types_rows) + "\n")
+    (root / "dataset_config.yaml").write_text(
+        yaml.safe_dump(
+            {
+                "tissue_types": {"colon": 0},
+                "nuclei_types": {
+                    "Background": 0, "Neutrophil": 1, "Epithelial": 2,
+                    "Lymphocyte": 3, "Plasma": 4, "Eosinophil": 5,
+                    "Connective": 6,
+                },
+            }
+        )
+    )
+    return root
