@@ -97,7 +97,10 @@ class SamAttention(nn.Module):
 
         # global attention over big grids (1024² tiles → 64×64 tokens):
         # flash kernel with the decomposed rel-pos bias folded in
-        if self.use_rel_pos and h * w >= 1024 and h * w % 256 == 0:
+        if (
+            self.use_rel_pos and h * w >= 1024 and h * w % 256 == 0
+            and jax.default_backend() != "cpu"
+        ):
             from cellvit_tpu.ops.attention import flash_attention_relpos
 
             n_table = 2 * self.rel_pos_dim - 1

@@ -57,7 +57,8 @@ class Attention(nn.Module):
         # large token counts (1024² tiles → 4097 tokens): Pallas flash
         # attention avoids materializing the O(N²·heads) logits; inference
         # only (no attn dropout, no custom VJP needed at 256² training)
-        if n >= 1024 and not train:  # no custom VJP: inference only
+        use_flash = n >= 1024 and not train and jax.default_backend() != "cpu"
+        if use_flash:  # no custom VJP: inference only; Pallas needs TPU
             from cellvit_tpu.ops.attention import flash_attention
 
             out = flash_attention(q, k, v).reshape(b, n, c)

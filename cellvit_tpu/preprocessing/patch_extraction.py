@@ -94,9 +94,12 @@ class PreProcessor:
         else:
             self.files = [Path(p) for p in wsi_paths]
 
+        # per-side overlap pixels (reference patch_extraction.py:144-146:
+        # floor(patch_size/2 · percent/100)); metadata records 2× this
         overlap_px = int(
-            math.floor(self.config.patch_size * self.config.patch_overlap / 100 / 2)
-            * 2
+            math.floor(
+                self.config.patch_size / 2 * self.config.patch_overlap / 100
+            )
         )
         self.overlap_px = overlap_px
         self.tile_size = patch_to_tile_size(self.config.patch_size, overlap_px)

@@ -53,7 +53,7 @@ def preprocessed_wsi(tmp_path_factory):
         wsi_paths=str(slide_path),
         output_path=str(out),
         patch_size=256,
-        patch_overlap=12.5,  # 32 px on each side → 64 total, tile 192
+        patch_overlap=25,  # 32 px per side → 64 recorded, tile 192
         min_intersection_ratio=0.05,
         processes=4,
         wsi_extension="tiff",
@@ -97,7 +97,7 @@ def test_preprocessing_resume(preprocessed_wsi):
         wsi_paths=str(slide_path),
         output_path=str(patched.parent),
         patch_size=256,
-        patch_overlap=12.5,
+        patch_overlap=25,
         wsi_extension="tiff",
     )
     results = PreProcessor(config).sample_patches_dataset()
