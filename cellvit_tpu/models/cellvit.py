@@ -119,6 +119,7 @@ class CellViT(nn.Module):
     window_size: int = 14
     prompt_embed_dim: int = 256
     patch_size: int = 16
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -143,6 +144,7 @@ class CellViT(nn.Module):
                 dropout=self.drop_rate,
                 attn_dropout=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate,
+                remat=self.remat,
                 dtype=dt,
                 name="encoder",
             )
@@ -158,6 +160,7 @@ class CellViT(nn.Module):
                 window_size=self.window_size,
                 global_attn_indexes=self.global_attn_indexes,
                 extract_layers=self.extract_layers,
+                remat=self.remat,
                 dtype=dt,
                 name="encoder",
             )

@@ -203,6 +203,7 @@ class SamViT(nn.Module):
     global_attn_indexes: Sequence[int] = ()
     extract_layers: Sequence[int] = ()
     use_rel_pos: bool = True
+    remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -221,8 +222,9 @@ class SamViT(nn.Module):
 
         skips: List[jax.Array] = []
         extract = set(self.extract_layers)
+        block_cls = nn.remat(SamBlock) if self.remat else SamBlock
         for i in range(self.depth):
-            tokens = SamBlock(
+            tokens = block_cls(
                 self.embed_dim,
                 self.num_heads,
                 mlp_ratio=self.mlp_ratio,

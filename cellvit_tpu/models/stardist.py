@@ -45,6 +45,7 @@ class CellViTStarDist(nn.Module):
     window_size: int = 14
     prompt_embed_dim: int = 256
     patch_size: int = 16
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -63,7 +64,8 @@ class CellViTStarDist(nn.Module):
                 qkv_bias=self.qkv_bias, num_classes=self.num_tissue_classes,
                 patch_size=self.patch_size, extract_layers=self.extract_layers,
                 dropout=self.drop_rate, attn_dropout=self.attn_drop_rate,
-                drop_path_rate=self.drop_path_rate, dtype=dt, name="encoder",
+                drop_path_rate=self.drop_path_rate, remat=self.remat,
+                dtype=dt, name="encoder",
             )
         else:
             self.encoder = SamViT(
@@ -72,7 +74,8 @@ class CellViTStarDist(nn.Module):
                 qkv_bias=self.qkv_bias, out_chans=self.prompt_embed_dim,
                 patch_size=self.patch_size, window_size=self.window_size,
                 global_attn_indexes=self.global_attn_indexes,
-                extract_layers=self.extract_layers, dtype=dt, name="encoder",
+                extract_layers=self.extract_layers, remat=self.remat,
+                dtype=dt, name="encoder",
             )
             self.classifier_head = nn.Dense(
                 self.num_tissue_classes, dtype=dt, name="classifier_head"

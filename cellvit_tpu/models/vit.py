@@ -85,7 +85,10 @@ class Attention(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-LN transformer block: LN→MHA→(+), LN→MLP→(+), with drop-path."""
+    """Pre-LN transformer block: LN→MHA→(+), LN→MLP→(+), with drop-path.
+
+    `train` is positional (not kw-only) so nn.remat can mark it static.
+    """
 
     dim: int
     num_heads: int
@@ -97,7 +100,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         def dp(y: jax.Array) -> jax.Array:
             rng = self.make_rng("dropout") if (train and self.drop_path_rate > 0) else None
             return drop_path(y, self.drop_path_rate, not train, rng)
@@ -144,6 +147,7 @@ class HistoViT(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.0
     drop_path_rate: float = 0.0
+    remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -160,8 +164,9 @@ class HistoViT(nn.Module):
         import numpy as np
 
         rates = [float(r) for r in np.linspace(0.0, self.drop_path_rate, self.depth)]
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         self.blocks = [
-            Block(
+            block_cls(
                 self.embed_dim,
                 self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -221,7 +226,7 @@ class HistoViT(nn.Module):
         skips: List[jax.Array] = []
         extract = set(self.extract_layers)
         for i, blk in enumerate(self.blocks):
-            tokens = blk(tokens, train=train)
+            tokens = blk(tokens, train)
             if (i + 1) in extract:
                 skips.append(tokens)
         normed = self.norm(tokens)

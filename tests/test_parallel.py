@@ -57,3 +57,37 @@ def test_dryrun_multichip_dp_tp():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # (data=4, model=2) mesh inside
+
+
+def test_remat_training_step():
+    """Rematerialized encoder trains identically (same loss value)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cellvit_tpu.models.cellvit import CellViT
+
+    kw = dict(
+        num_nuclei_classes=6, num_tissue_classes=5, embed_dim=32, depth=4,
+        num_heads=2, extract_layers=(1, 2, 3, 4), encoder_type="histo",
+    )
+    m_plain = CellViT(**kw)
+    m_remat = CellViT(**kw, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)),
+                    jnp.float32)
+    v = m_plain.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return jnp.mean(out["hv_map"] ** 2) + jnp.mean(out["tissue_types"] ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m_plain, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(m_remat, p))(v["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    a = jax.tree_util.tree_leaves(g1)[0]
+    b = jax.tree_util.tree_leaves(g2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
