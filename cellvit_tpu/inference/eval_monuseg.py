@@ -66,9 +66,16 @@ class InferenceCellViTMoNuSeg(InferenceCellViT):
         p, ov = self.patch_size, self.overlap
         stride = p - ov
         h, w = img.shape[:2]
+
+        def positions(n: int) -> List[int]:
+            pos = list(range(0, n - p + 1, stride))
+            if not pos or pos[-1] != n - p:
+                pos.append(n - p)  # end-aligned patch so edges are covered
+            return pos
+
         cells: List[Dict] = []
-        for y0 in range(0, h - p + 1, stride):
-            for x0 in range(0, w - p + 1, stride):
+        for yi, y0 in enumerate(positions(h)):
+            for xi, x0 in enumerate(positions(w)):
                 tile = img[y0 : y0 + p, x0 : x0 + p]
                 out = self._forward(self.variables, jnp.asarray(tile)[None])
                 inst, nt, _ = self._postprocess_batch(
@@ -92,15 +99,14 @@ class InferenceCellViTMoNuSeg(InferenceCellViT):
                             ).tolist(),
                             "type": infos[inst_id]["type"],
                             "cell_status": dd.get_cell_position_margin(bbox, p, ov),
-                            "patch_coordinates": [y0 // stride, x0 // stride],
+                            "patch_coordinates": [yi, xi],
                             "edge_position": bool(
                                 bbox.max() == p or bbox.min() == 0
                             ),
                             "edge_information": {
                                 "position": dd.get_cell_position(bbox, p),
                                 "edge_patches": dd.get_edge_patch(
-                                    dd.get_cell_position(bbox, p),
-                                    y0 // stride, x0 // stride,
+                                    dd.get_cell_position(bbox, p), yi, xi,
                                 ),
                             },
                         }
