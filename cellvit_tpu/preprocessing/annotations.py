@@ -115,17 +115,24 @@ def get_intersected_labels(
     min_intersection_ratio: float = 0.0,
     store_masks: bool = False,
     downsample: float = 1.0,
+    overlapping_labels: bool = False,
 ) -> Tuple[List[int], List[float], Optional[np.ndarray]]:
     """Labels intersecting patch (row, col) with their area ratios.
 
     Patch origin follows the DeepZoom tiling math (`x = col·tile −
     overlap`); polygons are level-0 referenced and get scaled by
     `downsample`. Returns (labels, ratios, optional patch mask).
+
+    By default overlapping annotations resolve by label-map priority
+    (higher id wins) into one int mask. With `overlapping_labels` the
+    stored mask is a (H, W, n_intersected) per-label binary stack
+    instead (reference cli.py `overlapping_labels`).
     """
     patch_size = tile_size + 2 * patch_overlap
     x0 = (col * tile_size - patch_overlap) * downsample
     y0 = (row * tile_size - patch_overlap) * downsample
     canvas = np.zeros((patch_size, patch_size), np.int32)
+    per_label: Dict[int, np.ndarray] = {}
     areas: Dict[int, int] = {}
     order = sorted(
         range(len(polygons)), key=lambda i: label_map.get(region_labels[i], 0)
@@ -147,6 +154,9 @@ def get_intersected_labels(
         if area:
             canvas[single > 0] = lbl
             areas[lbl] = areas.get(lbl, 0) + area
+            if overlapping_labels and store_masks:
+                acc = per_label.setdefault(lbl, np.zeros_like(canvas))
+                acc |= single
 
     total = patch_size * patch_size
     labels_out, ratios = [], []
@@ -155,4 +165,13 @@ def get_intersected_labels(
         if ratio > min_intersection_ratio:
             labels_out.append(lbl)
             ratios.append(float(ratio))
-    return labels_out, ratios, (canvas if store_masks else None)
+    if not store_masks:
+        return labels_out, ratios, None
+    if overlapping_labels:
+        stack = (
+            np.stack([per_label[lbl] for lbl in labels_out], axis=-1)
+            if labels_out
+            else np.zeros((patch_size, patch_size, 0), np.int32)
+        )
+        return labels_out, ratios, stack
+    return labels_out, ratios, canvas

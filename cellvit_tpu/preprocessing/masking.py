@@ -167,3 +167,18 @@ def calculate_background_ratio(patch: np.ndarray, patch_size: int) -> float:
     bg = ((gray_mask | black_mask) / 255).astype(np.uint8)
     total = bg.sum() + patch_size**2 - patch.shape[0] * patch.shape[1]
     return float(total) / patch_size**2
+
+
+def standardize_brightness(patches: List[np.ndarray]) -> List[np.ndarray]:
+    """Joint brightness normalization: scale the whole patch batch so its
+    90th-percentile intensity maps to 255 (reference patch_util.py:779-800,
+    `standardize_brightness`; legacy option, off by default)."""
+    if not patches:
+        return patches
+    p90 = float(np.percentile(np.stack(patches), 90))
+    if p90 <= 0:
+        return patches
+    return [
+        np.clip(p.astype(np.float64) * 255.0 / p90, 0, 255).astype(np.uint8)
+        for p in patches
+    ]

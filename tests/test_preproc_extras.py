@@ -137,3 +137,116 @@ def test_tissue_detector_train_filter(tmp_path, rng):
     assert stats["kept"] == 2 and stats["dropped"] == 2
     kept = json.loads((wsi_dir / "patch_metadata.json").read_text())
     assert {next(iter(e)) for e in kept} == {"p_0.png", "p_1.png"}
+
+
+def test_full_config_fields(tmp_path, rng):
+    """Extended reference-schema config fields drive real behavior:
+    wsi_filelist csv, level override, tissue_annotation masking,
+    save_only_annotated_patches, overlapping_labels mask stacks."""
+    import json as _json
+
+    import yaml
+
+    from cellvit_tpu.preprocessing.patch_extraction import (
+        PreProcessingConfig,
+        PreProcessor,
+    )
+    from cellvit_tpu.preprocessing.wsi_reader import write_test_pyramid
+
+    img = np.full((768, 768, 3), 235, np.uint8)
+    img[100:500, 100:500] = (150, 90, 160)  # tissue block
+    slide = tmp_path / "s1.tiff"
+    write_test_pyramid(str(slide), img, tile_size=128, n_levels=2,
+                       mpp=0.5, magnification=20)
+
+    # filelist csv with per-file metadata override
+    filelist = tmp_path / "files.csv"
+    filelist.write_text(f"path,slide_mpp,magnification\n{slide},0.5,20\n")
+
+    # annotations: tissue region + two overlapping tumor/stroma squares
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    def feat(name, coords):
+        return {"type": "Feature",
+                "geometry": {"type": "Polygon", "coordinates": [coords]},
+                "properties": {"classification": {"name": name}}}
+    (ann_dir / "s1.geojson").write_text(_json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            feat("tissue", [[90, 90], [510, 90], [510, 510], [90, 510]]),
+            feat("tumor", [[120, 120], [380, 120], [380, 380], [120, 380]]),
+            feat("stroma", [[250, 250], [470, 250], [470, 470], [250, 470]]),
+            feat("ignore_me", [[0, 0], [50, 0], [50, 50]]),
+        ],
+    }))
+    label_map_file = tmp_path / "labels.json"
+    label_map_file.write_text(_json.dumps(
+        {"background": 0, "tumor": 1, "stroma": 2}))
+
+    out = tmp_path / "out"
+    config = PreProcessingConfig(
+        output_path=str(out),
+        wsi_filelist=str(filelist),
+        patch_size=256,
+        level=0,
+        check_resolution=20,
+        annotation_paths=str(ann_dir),
+        label_map_file=str(label_map_file),
+        tissue_annotation="tissue",
+        tissue_annotation_intersection_ratio=0.05,
+        exclude_classes=("ignore_me",),
+        save_only_annotated_patches=True,
+        store_masks=True,
+        overlapping_labels=True,
+        generate_thumbnails=True,
+        adjust_brightness=True,
+        min_intersection_ratio=0.05,
+        processes=2,
+        log_level="warning",
+    )
+    assert config.label_map == {"background": 0, "tumor": 1, "stroma": 2}
+    pre = PreProcessor(config)
+    assert pre.files == [slide]
+    pre.sample_patches_dataset()
+
+    patched = out / "s1"
+    entries = _json.loads((patched / "patch_metadata.json").read_text())
+    assert entries, "annotated patches should survive the filters"
+    # every kept patch carries at least one intersected label
+    for e in entries:
+        meta = next(iter(e.values()))
+        assert meta["intersected_labels"]
+    # overlapping_labels → per-label channel stack masks
+    masks = sorted((patched / "annotation_masks").glob("*.npy"))
+    assert masks
+    m = np.load(masks[0])
+    assert m.ndim == 3 and m.shape[:2] == (256, 256)
+    assert m.shape[2] == len(
+        next(iter(entries[0].values()))["intersected_labels"])
+    assert (patched / "thumbnails" / "thumbnail_ds_32.png").exists()
+
+    # strict resolution guard trips on mismatch
+    bad = PreProcessingConfig(
+        output_path=str(tmp_path / "out2"), wsi_paths=str(slide),
+        wsi_extension="tiff", check_resolution=40, level=0,
+    )
+    with pytest.raises(RuntimeError, match="magnification"):
+        PreProcessor(bad).process_wsi(slide)
+
+    # missing annotation file: strict vs incomplete_annotations
+    slide2 = tmp_path / "s2.tiff"
+    write_test_pyramid(str(slide2), img, tile_size=128, n_levels=2,
+                       mpp=0.5, magnification=20)
+    strict = PreProcessingConfig(
+        output_path=str(tmp_path / "out3"), wsi_paths=str(slide2),
+        wsi_extension="tiff", annotation_paths=str(ann_dir),
+    )
+    with pytest.raises(FileNotFoundError):
+        PreProcessor(strict).process_wsi(slide2)
+    lax = PreProcessingConfig(
+        output_path=str(tmp_path / "out4"), wsi_paths=str(slide2),
+        wsi_extension="tiff", annotation_paths=str(ann_dir),
+        incomplete_annotations=True, min_intersection_ratio=0.05,
+    )
+    res = PreProcessor(lax).process_wsi(slide2)
+    assert res["n_patches"] > 0
