@@ -412,6 +412,30 @@ class PreProcessor:
                 Image.fromarray(reader.get_thumbnail(size)).save(
                     wsi_out / "thumbnails" / f"thumbnail_ds_{ds}.png"
                 )
+        if polygons or tissue_polys:
+            # per-label polygon overlays (reference plotting.py:24-157)
+            from cellvit_tpu.preprocessing.plotting import (
+                generate_polygon_overview,
+            )
+
+            thumb = reader.get_thumbnail(1024)
+            w0, _ = reader.level_dimensions[0]
+            all_polys = list(polygons) + list(tissue_polys)
+            all_labels = list(region_labels) + [
+                cfg.tissue_annotation or "tissue"
+            ] * len(tissue_polys)
+            lbl_map = dict(cfg.label_map)
+            for l in all_labels:
+                lbl_map.setdefault(l, max(lbl_map.values(), default=0) + 1)
+            overlays = generate_polygon_overview(
+                all_polys, all_labels, lbl_map, thumb,
+                downsample=w0 / thumb.shape[1],
+            )
+            (wsi_out / "annotation_overlays").mkdir(exist_ok=True)
+            for key, im in overlays.items():
+                Image.fromarray(im).save(
+                    wsi_out / "annotation_overlays" / f"{key}.png"
+                )
 
         # thread pool: one native reader handle per worker
         import threading

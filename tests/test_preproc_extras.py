@@ -250,3 +250,29 @@ def test_full_config_fields(tmp_path, rng):
     )
     res = PreProcessor(lax).process_wsi(slide2)
     assert res["n_patches"] > 0
+
+
+def test_polygon_overview(tmp_path):
+    from cellvit_tpu.preprocessing.plotting import generate_polygon_overview
+
+    thumb = np.full((200, 300, 3), 220, np.uint8)
+    polys = [
+        np.array([[100, 100], [900, 100], [900, 500], [100, 500]], float),
+        np.array([[1000, 600], [1400, 600], [1400, 780]], float),
+    ]
+    labels = ["tumor", "stroma"]
+    out = generate_polygon_overview(
+        polys, labels, {"background": 0, "tumor": 1, "stroma": 2},
+        thumb, downsample=5.0,
+    )
+    assert set(out) == {
+        "tumor", "tumor_clean", "stroma", "stroma_clean", "all_overlays"
+    }
+    # tumor overlay changes exactly the tumor region of the thumbnail
+    diff = (out["tumor"].astype(int) - thumb.astype(int)).any(axis=-1)
+    assert diff[60, 100] and not diff[10, 10]
+    # clean canvas is white outside annotations
+    assert (out["tumor_clean"][10, 10] == 255).all()
+    # combined overlay shows both
+    dall = (out["all_overlays"].astype(int) - thumb.astype(int)).any(axis=-1)
+    assert dall[60, 100] and dall[130, 240]
