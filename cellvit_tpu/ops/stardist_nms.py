@@ -75,12 +75,39 @@ def _poly_mask_local(coord_i, x0, y0, w, h):
     return canvas
 
 
+def nms_candidates_device(
+    prob, dist, prob_thresh: float = 0.5, max_candidates: int = 10000
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Device-side candidate stage: threshold + descending-prob top-k on
+    the accelerator, so only (k, n_rays) candidate rows cross to the host
+    instead of the full (H, W, n_rays) ray maps. Ordering matches the
+    host path (descending prob, raster order on ties — `lax.top_k` is
+    index-stable). Returns host arrays (points yx, probs, dists)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k",))
+    def _topk(prob_j, dist_j, k):
+        h, w = prob_j.shape
+        vals, idx = jax.lax.top_k(prob_j.reshape(-1).astype(jnp.float32), k)
+        ys, xs = idx // w, idx % w
+        return ys, xs, vals, dist_j[ys, xs].astype(jnp.float32)
+
+    k = min(max_candidates, int(np.prod(prob.shape)))
+    ys, xs, probs, dists = jax.device_get(_topk(prob, dist, k))
+    keep = probs > prob_thresh
+    points = np.stack([ys[keep], xs[keep]], axis=-1).astype(np.int64)
+    return points, probs[keep].astype(np.float64), dists[keep]
+
+
 def non_maximum_suppression(
     dist: np.ndarray,
     prob: np.ndarray,
     prob_thresh: float = 0.5,
     nms_thresh: float = 0.4,
     max_candidates: int = 10000,
+    candidates: Tuple[np.ndarray, np.ndarray, np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy polygon NMS.
 
@@ -89,16 +116,32 @@ def non_maximum_suppression(
         prob: (H, W) object probability (the dist_map branch, after sigmoid
             — the reference passes the raw branch output; values above
             prob_thresh are candidates either way).
+        candidates: optional pre-selected (points, probs, dists) from
+            `nms_candidates_device` — skips the host threshold/sort.
     Returns:
         (points (n, 2) yx, probs (n,), dists (n, n_rays)) of survivors.
     """
-    ys, xs = np.nonzero(prob > prob_thresh)
-    if ys.size == 0:
-        return np.zeros((0, 2), np.int64), np.zeros(0), np.zeros((0, dist.shape[-1]))
-    probs = prob[ys, xs]
-    order = np.argsort(-probs, kind="stable")[:max_candidates]
-    ys, xs, probs = ys[order], xs[order], probs[order]
-    dists = dist[ys, xs]
+    if candidates is not None:
+        points, probs, dists = candidates
+        ys, xs = points[:, 0], points[:, 1]
+        if ys.size == 0:
+            return (
+                np.zeros((0, 2), np.int64),
+                np.zeros(0),
+                np.zeros((0, dist.shape[-1] if dist is not None else dists.shape[-1])),
+            )
+    else:
+        ys, xs = np.nonzero(prob > prob_thresh)
+        if ys.size == 0:
+            return (
+                np.zeros((0, 2), np.int64),
+                np.zeros(0),
+                np.zeros((0, dist.shape[-1])),
+            )
+        probs = prob[ys, xs]
+        order = np.argsort(-probs, kind="stable")[:max_candidates]
+        ys, xs, probs = ys[order], xs[order], probs[order]
+        dists = dist[ys, xs]
     points = np.stack([ys, xs], axis=-1)
     coords = dist_to_coord(dists, points.astype(np.float32))  # (n, 2, n_rays)
 
@@ -177,8 +220,17 @@ class StarDistPostProcessor:
         from cellvit_tpu.eval.metrics import remap_label
         from cellvit_tpu.ops.instance_stats import contours_from_instance_map
 
+        if not isinstance(dist_map, np.ndarray):
+            # jax arrays in → run the candidate stage on device and move
+            # only the top-k rows to host (greedy NMS stays host-side)
+            cand = nms_candidates_device(dist_map, stardist_map)
+            points, probs, dists = non_maximum_suppression(
+                None, None, candidates=cand
+            )
+            type_prob = np.asarray(type_prob)
+        else:
+            points, probs, dists = non_maximum_suppression(stardist_map, dist_map)
         pred_type = np.argmax(type_prob, axis=-1)
-        points, probs, dists = non_maximum_suppression(stardist_map, dist_map)
         inst = remap_label(
             polygons_to_label(dists, points, self.image_shape, prob=probs)
         )

@@ -150,3 +150,54 @@ def test_polygons_to_label_and_postproc(rng):
         assert spec["contour"].shape[1] == 2
     assert type_map.shape == (*dist_map.shape, 6)
     assert (type_map[..., 2] > 0).any()
+
+
+def test_nms_device_candidates_match_host(rng):
+    """Device top-k candidate stage reproduces the host NMS exactly."""
+    import jax.numpy as jnp
+
+    from cellvit_tpu.ops.stardist_nms import (
+        nms_candidates_device,
+        non_maximum_suppression,
+    )
+
+    h = w = 128
+    prob = np.zeros((h, w), np.float32)
+    dist = np.full((h, w, 32), 1.0, np.float32)
+    for _ in range(25):
+        cy, cx = rng.integers(10, h - 10, 2)
+        prob[cy, cx] = rng.uniform(0.6, 0.99)
+        dist[cy, cx] = rng.uniform(3, 9)
+    # duplicate probability to exercise tie stability
+    prob[20, 20] = prob[40, 40] = 0.77
+    dist[20, 20] = 5.0
+    dist[40, 40] = 5.0
+
+    p_host, pr_host, d_host = non_maximum_suppression(dist, prob)
+    cand = nms_candidates_device(jnp.asarray(prob), jnp.asarray(dist))
+    p_dev, pr_dev, d_dev = non_maximum_suppression(None, None, candidates=cand)
+    np.testing.assert_array_equal(p_host, p_dev)
+    np.testing.assert_allclose(pr_host, pr_dev, rtol=1e-6)
+    np.testing.assert_allclose(d_host, d_dev, rtol=1e-6)
+
+
+def test_post_proc_stardist_accepts_device_arrays(rng):
+    import jax.numpy as jnp
+
+    from cellvit_tpu.ops.stardist_nms import StarDistPostProcessor
+
+    h = w = 96
+    prob = np.zeros((h, w), np.float32)
+    dist = np.full((h, w, 32), 1.0, np.float32)
+    for cy, cx in [(20, 20), (60, 70), (80, 30)]:
+        prob[cy, cx] = 0.9
+        dist[cy, cx] = 8.0
+    tp = np.zeros((h, w, 4), np.float32)
+    tp[..., 1] = 1.0
+    proc = StarDistPostProcessor(nr_types=4, image_shape=(h, w))
+    inst_np, info_np, _ = proc.post_proc_stardist(prob, dist, tp)
+    inst_j, info_j, _ = proc.post_proc_stardist(
+        jnp.asarray(prob), jnp.asarray(dist), jnp.asarray(tp)
+    )
+    np.testing.assert_array_equal(inst_np, inst_j)
+    assert set(info_np) == set(info_j)
