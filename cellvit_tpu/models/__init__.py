@@ -32,3 +32,8 @@ from cellvit_tpu.models.stardist import (  # noqa: F401
     CellViTStarDist,
 )
 from cellvit_tpu.models.stardist_rn50 import StarDistRN50  # noqa: F401
+from cellvit_tpu.models.storage import (  # noqa: F401
+    DataclassCPPStorage,
+    DataclassHVStorage,
+    DataclassStarDistStorage,
+)

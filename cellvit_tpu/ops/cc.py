@@ -146,6 +146,35 @@ def remove_small_objects(
     return jnp.where(keep[labels], labels, 0)
 
 
+def remove_small_objects_window(
+    labels: jnp.ndarray, min_size: int
+) -> jnp.ndarray:
+    """Scatter-free `remove_small_objects` via windowed equality counting.
+
+    A connected component with n < min_size pixels has L∞ diameter
+    ≤ n − 1 ≤ min_size − 2, so every member sees exactly n same-label
+    pixels inside the (2·min_size − 1)² window. A component with
+    n ≥ min_size contains, from any member, a connected subtree of
+    min_size pixels all within graph (hence L∞) distance min_size − 1.
+    Therefore `keep(p) ⇔ same-label count in the window ≥ min_size` is
+    exact for arbitrary shapes — computed with shifted vector compares
+    only (TPU-friendly: no histogram scatter, no table gather).
+    """
+    if min_size <= 1:
+        return labels
+    r = min_size - 1
+    h, w = labels.shape
+    padded = jnp.pad(labels, r, constant_values=0)
+    fg = labels > 0
+    cnt = jnp.zeros(labels.shape, jnp.int32)
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            shifted = jax.lax.dynamic_slice(padded, (dy, dx), (h, w))
+            cnt = cnt + (shifted == labels).astype(jnp.int32)
+    keep = fg & (cnt >= min_size)
+    return jnp.where(keep, labels, 0)
+
+
 def _segmented_or_scan(v: jnp.ndarray, bg: jnp.ndarray, axis: int, reverse: bool):
     """OR-scan along `axis` resetting at `bg` pixels (same monoid as the
     segmented min-scan with booleans)."""

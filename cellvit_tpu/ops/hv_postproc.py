@@ -40,7 +40,6 @@ def _instance_map_impl(
     use_pallas: bool,
 ) -> jnp.ndarray:
     b, h, w = np_prob.shape
-    n_seg_root = h * w + 1
 
     if use_pallas:
         from cellvit_tpu.ops.cc_pallas import (
@@ -60,7 +59,7 @@ def _instance_map_impl(
 
     fg = np_prob >= 0.5
     lab = label_roots(fg)
-    lab = jax.vmap(lambda l: cc.remove_small_objects(l, 10, n_seg_root))(lab)
+    lab = jax.vmap(lambda l: cc.remove_small_objects_window(l, 10))(lab)
     blb = lab > 0
     blbf = blb.astype(jnp.float32)
 
@@ -79,7 +78,7 @@ def _instance_map_impl(
     marker_lab = label_roots(marker)
     marker_lab = jax.vmap(cc.compact_root_labels)(marker_lab)
     marker_lab = jax.vmap(
-        lambda l: cc.remove_small_objects(l, object_size, h * w // 2 + 2)
+        lambda l: cc.remove_small_objects_window(l, object_size)
     )(marker_lab)
 
     return jax.vmap(watershed)(dist, marker_lab, blb)

@@ -13,9 +13,10 @@ Conventions (differences from the torch reference, by design):
 * reductions, epsilons and weighting semantics match the reference exactly
   so training dynamics are comparable.
 
-Losses whose torch originals are sequence/metric-learning utilities with no
-call site in any reference config (CTCLoss, MultiLabelMarginLoss,
-MultiMarginLoss, TripletMarginWithDistanceLoss) raise on retrieval.
+The full 30-entry reference LOSS_DICT is covered, including the
+sequence/metric-learning utilities with no call site in any reference
+config (CTCLoss via optax.ctc_loss, MultiLabelMarginLoss,
+MultiMarginLoss, TripletMarginWithDistanceLoss).
 """
 
 from __future__ import annotations
@@ -446,6 +447,109 @@ def l1_loss_weighted(
     return jnp.mean(l1)
 
 
+def ctc_loss(
+    log_probs: jnp.ndarray,  # (T, B, C) log-probabilities (torch layout)
+    targets: jnp.ndarray,  # (B, S) label ids (0 = blank not allowed in targets)
+    input_lengths: jnp.ndarray,  # (B,)
+    target_lengths: jnp.ndarray,  # (B,)
+    blank: int = 0,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """torch.nn.CTCLoss semantics on top of optax.ctc_loss.
+
+    optax applies log_softmax internally; log_softmax is idempotent, so
+    passing torch-style log_probs yields identical alphas.
+    """
+    import optax
+
+    logits = jnp.transpose(log_probs, (1, 0, 2))  # (B, T, C)
+    t = jnp.arange(logits.shape[1])
+    logit_pad = (t[None, :] >= input_lengths[:, None]).astype(jnp.float32)
+    s = jnp.arange(targets.shape[1])
+    label_pad = (s[None, :] >= target_lengths[:, None]).astype(jnp.float32)
+    per_seq = optax.ctc_loss(logits, logit_pad, targets, label_pad, blank_id=blank)
+    if reduction == "mean":
+        # torch divides each sequence loss by its target length, then means
+        return jnp.mean(per_seq / jnp.maximum(target_lengths, 1))
+    if reduction == "sum":
+        return jnp.sum(per_seq)
+    return per_seq
+
+
+def multi_margin_loss(
+    input: jnp.ndarray,  # (B, C)
+    target: jnp.ndarray,  # (B,)
+    p: int = 1,
+    margin: float = 1.0,
+    weight: Optional[jnp.ndarray] = None,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """torch.nn.MultiMarginLoss: mean_i≠y max(0, margin − x_y + x_i)^p / C."""
+    b, c = input.shape
+    x_y = jnp.take_along_axis(input, target[:, None], axis=1)
+    hinge = jnp.maximum(0.0, margin - x_y + input) ** p
+    if weight is not None:
+        hinge = hinge * weight[target][:, None]
+    hinge = hinge * (jnp.arange(c)[None, :] != target[:, None])
+    per_sample = jnp.sum(hinge, axis=1) / c
+    if reduction == "mean":
+        return jnp.mean(per_sample)
+    if reduction == "sum":
+        return jnp.sum(per_sample)
+    return per_sample
+
+
+def multilabel_margin_loss(
+    input: jnp.ndarray,  # (B, C)
+    target: jnp.ndarray,  # (B, C) int; target indices until the first -1
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """torch.nn.MultiLabelMarginLoss: Σ_{j∈targets} Σ_{i∉targets}
+    max(0, 1 − (x[y_j] − x_i)) / C, padding via the first -1."""
+    b, c = input.shape
+    idx = jnp.arange(c)
+    valid = jnp.cumprod(target >= 0, axis=1).astype(bool)  # stop at first -1
+    safe_t = jnp.where(valid, target, 0)
+    # is_target[b, i] = i appears among the valid targets of sample b
+    is_target = jnp.any(
+        (safe_t[:, :, None] == idx[None, None, :]) & valid[:, :, None], axis=1
+    )
+    x_t = jnp.take_along_axis(input, safe_t, axis=1)  # (B, C) gathered targets
+    hinge = jnp.maximum(0.0, 1.0 - (x_t[:, :, None] - input[:, None, :]))
+    mask = valid[:, :, None] & ~is_target[:, None, :]
+    per_sample = jnp.sum(hinge * mask, axis=(1, 2)) / c
+    if reduction == "mean":
+        return jnp.mean(per_sample)
+    if reduction == "sum":
+        return jnp.sum(per_sample)
+    return per_sample
+
+
+def triplet_margin_with_distance_loss(
+    anchor: jnp.ndarray,
+    positive: jnp.ndarray,
+    negative: jnp.ndarray,
+    distance_function: Optional[Callable] = None,
+    margin: float = 1.0,
+    swap: bool = False,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """torch.nn.TripletMarginWithDistanceLoss (default distance: L2)."""
+    dist = distance_function or (
+        lambda a, b: jnp.sqrt(jnp.sum((a - b) ** 2, axis=-1) + 1e-12)
+    )
+    d_ap = dist(anchor, positive)
+    d_an = dist(anchor, negative)
+    if swap:
+        d_an = jnp.minimum(d_an, dist(positive, negative))
+    per = jnp.maximum(0.0, d_ap - d_an + margin)
+    if reduction == "mean":
+        return jnp.mean(per)
+    if reduction == "sum":
+        return jnp.sum(per)
+    return per
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -479,21 +583,15 @@ LOSS_DICT: Dict[str, Callable[..., Loss]] = {
     "BCEWeighted": lambda **kw: partial(bce_weighted, **kw),
     "CEWeighted": lambda **kw: partial(ce_weighted, **kw),
     "L1LossWeighted": lambda **kw: partial(l1_loss_weighted, **kw),
-}
-
-_UNSUPPORTED = {
-    "CTCLoss",
-    "MultiLabelMarginLoss",
-    "MultiMarginLoss",
-    "TripletMarginWithDistanceLoss",
+    "CTCLoss": lambda **kw: partial(ctc_loss, **kw),
+    "MultiMarginLoss": lambda **kw: partial(multi_margin_loss, **kw),
+    "MultiLabelMarginLoss": lambda **kw: partial(multilabel_margin_loss, **kw),
+    "TripletMarginWithDistanceLoss": lambda **kw: partial(
+        triplet_margin_with_distance_loss, **kw
+    ),
 }
 
 
 def retrieve_loss_fn(loss_name: str, **kwargs) -> Loss:
     """Name → configured loss callable (reference base_loss.py:1121-1135)."""
-    if loss_name in _UNSUPPORTED:
-        raise NotImplementedError(
-            f"{loss_name} has no call site in any reference config and is not "
-            "implemented in the TPU build"
-        )
     return LOSS_DICT[loss_name](**kwargs)

@@ -19,11 +19,64 @@ def test_registry_complete():
         "HingeEmbeddingLoss", "HuberLoss", "SmoothL1Loss", "SoftMarginLoss",
         "MultiLabelSoftMarginLoss", "CosineEmbeddingLoss", "TripletMarginLoss",
         "MAEWeighted", "MSEWeighted", "BCEWeighted", "CEWeighted",
-        "L1LossWeighted",
+        "L1LossWeighted", "CTCLoss", "MultiMarginLoss",
+        "MultiLabelMarginLoss", "TripletMarginWithDistanceLoss",
     }
     assert expected <= set(losses.LOSS_DICT)
-    with pytest.raises(NotImplementedError):
-        losses.retrieve_loss_fn("CTCLoss")
+
+
+def test_ctc_matches_torch(rng):
+    T, B, C, S = 12, 3, 7, 4
+    logits = rng.standard_normal((T, B, C), dtype=np.float32)
+    log_probs = torch.from_numpy(logits).log_softmax(-1)
+    targets = torch.from_numpy(rng.integers(1, C, (B, S)).astype(np.int64))
+    in_len = torch.tensor([12, 10, 8])
+    tg_len = torch.tensor([4, 3, 2])
+    ref = F.ctc_loss(log_probs, targets, in_len, tg_len, blank=0).item()
+    out = float(losses.retrieve_loss_fn("CTCLoss")(
+        jnp.asarray(log_probs.numpy()), jnp.asarray(targets.numpy()),
+        jnp.asarray(in_len.numpy()), jnp.asarray(tg_len.numpy()),
+    ))
+    np.testing.assert_allclose(out, ref, rtol=1e-4)
+
+
+def test_multi_margin_matches_torch(rng):
+    x = rng.standard_normal((6, 9), dtype=np.float32)
+    y = rng.integers(0, 9, 6)
+    for p, margin in [(1, 1.0), (2, 0.7)]:
+        ref = F.multi_margin_loss(
+            torch.from_numpy(x), torch.from_numpy(y), p=p, margin=margin
+        ).item()
+        out = float(losses.retrieve_loss_fn("MultiMarginLoss", p=p, margin=margin)(
+            jnp.asarray(x), jnp.asarray(y)
+        ))
+        np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_multilabel_margin_matches_torch(rng):
+    x = rng.standard_normal((5, 8), dtype=np.float32)
+    y = np.full((5, 8), -1, np.int64)
+    for b in range(5):
+        k = rng.integers(1, 5)
+        y[b, :k] = rng.choice(8, size=k, replace=False)
+    ref = F.multilabel_margin_loss(torch.from_numpy(x), torch.from_numpy(y)).item()
+    out = float(losses.retrieve_loss_fn("MultiLabelMarginLoss")(
+        jnp.asarray(x), jnp.asarray(y)
+    ))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_triplet_with_distance_matches_torch(rng):
+    a, p, n = (rng.standard_normal((7, 16), dtype=np.float32) for _ in range(3))
+    for swap in (False, True):
+        ref = F.triplet_margin_with_distance_loss(
+            torch.from_numpy(a), torch.from_numpy(p), torch.from_numpy(n),
+            margin=0.8, swap=swap,
+        ).item()
+        out = float(losses.retrieve_loss_fn(
+            "TripletMarginWithDistanceLoss", margin=0.8, swap=swap
+        )(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5)
 
 
 def test_cross_entropy_matches_torch(rng):

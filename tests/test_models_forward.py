@@ -130,3 +130,44 @@ def test_cellvit_sam_b_full_forward_shapes():
     x = jnp.zeros((1, 256, 256, 3), jnp.float32)
     _, out = _forward(model, x)
     assert out["nuclei_type_map"].shape == (1, 256, 256, 6)
+
+
+def test_storage_dataclasses():
+    import numpy as np
+
+    from cellvit_tpu.models.storage import (
+        DataclassCPPStorage,
+        DataclassHVStorage,
+        DataclassStarDistStorage,
+    )
+
+    b, h, w = 2, 32, 32
+    hv = DataclassHVStorage(
+        nuclei_binary_map=np.zeros((b, h, w, 2)),
+        hv_map=np.zeros((b, h, w, 2)),
+        tissue_types=np.zeros((b, 19)),
+        nuclei_type_map=np.zeros((b, h, w, 6)),
+        instance_map=np.zeros((b, h, w), np.int32),
+        instance_types_nuclei=np.zeros((b, h, w, 6), np.int32),
+        batch_size=b, h=h, w=w,
+    )
+    d = hv.get_dict()
+    assert "regression_map" not in d  # dropped when regression_loss=False
+    assert d["batch_size"] == b
+
+    sd = DataclassStarDistStorage(
+        dist_map=np.zeros((b, h, w, 1)),
+        stardist_map=np.zeros((b, h, w, 32)),
+        nuclei_type_map=np.zeros((b, h, w, 6)),
+        batch_size=b,
+    )
+    assert sd.get_dict()["instance_map"] is None
+
+    cpp = DataclassCPPStorage(
+        dist_map=np.zeros((b, h, w, 1)),
+        stardist_map=np.zeros((b, h, w, 32)),
+        nuclei_type_map=np.zeros((b, h, w, 6)),
+        batch_size=b,
+        stardist_map_refined=np.zeros((b, h, w, 32)),
+    )
+    assert "stardist_map_refined" in cpp.get_dict()
