@@ -233,3 +233,99 @@ class HistoViT(nn.Module):
         cls_token = normed[:, 0]
         logits = self.head(cls_token) if self.head is not None else cls_token
         return logits, cls_token, skips
+
+
+def vit_tiny(patch_size: int = 16, **kw) -> HistoViT:
+    """timm-style preset (reference vits_histo.py:453-462)."""
+    return HistoViT(embed_dim=192, depth=12, num_heads=3,
+                    patch_size=patch_size, **kw)
+
+
+def vit_small(patch_size: int = 16, **kw) -> HistoViT:
+    """timm-style preset (reference vits_histo.py:465-474) — the HIPT/DINO
+    ViT-256 backbone configuration."""
+    return HistoViT(embed_dim=384, depth=12, num_heads=6,
+                    patch_size=patch_size, **kw)
+
+
+def vit_base(patch_size: int = 16, **kw) -> HistoViT:
+    """timm-style preset (reference vits_histo.py:477-486)."""
+    return HistoViT(embed_dim=768, depth=12, num_heads=12,
+                    patch_size=patch_size, **kw)
+
+
+class DINOHead(nn.Module):
+    """DINO projection head (reference vits_histo.py:495-540): n-layer GELU
+    MLP (optional BN) → bottleneck → weight-normalized linear to out_dim."""
+
+    out_dim: int
+    use_bn: bool = False
+    nlayers: int = 3
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        n = max(self.nlayers, 1)
+        if n == 1:
+            x = nn.Dense(self.bottleneck_dim, dtype=self.dtype)(x)
+        else:
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype,
+                )(x)
+            x = jax.nn.gelu(x, approximate=False)
+            for _ in range(n - 2):
+                x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+                if self.use_bn:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=self.dtype,
+                    )(x)
+                x = jax.nn.gelu(x, approximate=False)
+            x = nn.Dense(self.bottleneck_dim, dtype=self.dtype)(x)
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+        x = nn.WeightNorm(
+            nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype),
+            feature_axes=-1,
+        )(x)
+        return x
+
+
+class ViT256Embedder:
+    """Standalone HIPT ViT-256 patch embedder (reference
+    vits_histo.py:543-643, `ViT256_16`): crops an image to a 256-divisible
+    size, unfolds it into 256² sub-patches, and returns the grid of CLS
+    embeddings (h_256, w_256, 384) per image. Used to tokenize large WSI
+    regions for hierarchical models.
+    """
+
+    def __init__(self, checkpoint_path: Optional[str] = None,
+                 dtype=jnp.float32):
+        from cellvit_tpu.models.checkpoint_io import load_dino_encoder
+
+        self.model = vit_small(num_classes=0, dtype=dtype)
+        if checkpoint_path is not None:
+            params = load_dino_encoder(checkpoint_path)
+            self.variables = {"params": params["params"]}
+        else:
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3))
+            )
+        self._fwd = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)[1]
+        )
+
+    def __call__(self, x) -> jax.Array:
+        """x: (B, H, W, 3) → (B, H//256, W//256, 384) CLS-token grid."""
+        b, h, w, c = x.shape
+        hc, wc = (h // 256) * 256, (w // 256) * 256
+        x = x[:, :hc, :wc]
+        gh, gw = hc // 256, wc // 256
+        tiles = x.reshape(b, gh, 256, gw, 256, c).transpose(0, 1, 3, 2, 4, 5)
+        tiles = tiles.reshape(b * gh * gw, 256, 256, c)
+        cls = self._fwd(self.variables, jnp.asarray(tiles))
+        return cls.reshape(b, gh, gw, cls.shape[-1])

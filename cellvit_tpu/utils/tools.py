@@ -88,3 +88,15 @@ def close_logger(logger) -> None:
     for handler in list(logger.handlers):
         handler.close()
         logger.removeHandler(handler)
+
+
+def cropping_center(x, crop_shape, batch: bool = False):
+    """Center-crop an array to crop_shape (reference tools.py:38-59);
+    works on numpy and jax arrays, HW[C] or BHW[C] with batch=True."""
+    if not batch:
+        h0 = int((x.shape[0] - crop_shape[0]) * 0.5)
+        w0 = int((x.shape[1] - crop_shape[1]) * 0.5)
+        return x[h0 : h0 + crop_shape[0], w0 : w0 + crop_shape[1], ...]
+    h0 = int((x.shape[1] - crop_shape[0]) * 0.5)
+    w0 = int((x.shape[2] - crop_shape[1]) * 0.5)
+    return x[:, h0 : h0 + crop_shape[0], w0 : w0 + crop_shape[1], ...]

@@ -171,3 +171,39 @@ def test_storage_dataclasses():
         stardist_map_refined=np.zeros((b, h, w, 32)),
     )
     assert "stardist_map_refined" in cpp.get_dict()
+
+
+def test_vit_presets_dinohead_embedder():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cellvit_tpu.models.vit import (
+        DINOHead,
+        ViT256Embedder,
+        vit_base,
+        vit_small,
+        vit_tiny,
+    )
+    from cellvit_tpu.utils.tools import cropping_center
+
+    for factory, dim in [(vit_tiny, 192), (vit_small, 384), (vit_base, 768)]:
+        m = factory(num_classes=0)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        _, cls, _ = m.apply(v, jnp.zeros((1, 32, 32, 3)))
+        assert cls.shape == (1, dim)
+
+    head = DINOHead(out_dim=48, nlayers=2)
+    v = head.init(jax.random.PRNGKey(0), jnp.zeros((3, 384)))
+    out = head.apply(v, jnp.ones((3, 384)))
+    assert out.shape == (3, 48) and np.isfinite(np.asarray(out)).all()
+
+    emb = ViT256Embedder()  # random init, no checkpoint
+    grid = emb(np.zeros((1, 520, 300, 3), np.float32))
+    assert grid.shape == (1, 2, 1, 384)  # 520→2 tiles, 300→1 tile
+
+    x = np.arange(6 * 8).reshape(6, 8)
+    c = cropping_center(x, (2, 4))
+    assert c.shape == (2, 4) and c[0, 0] == x[2, 2]
+    xb = x[None]
+    assert cropping_center(xb, (2, 4), batch=True).shape == (1, 2, 4)
