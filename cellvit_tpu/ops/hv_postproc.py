@@ -57,9 +57,15 @@ def _instance_map_impl(
         )
         fill = jax.vmap(lambda m: cc.fill_holes(m, max_iters=cc_iters))
 
+    # scatter-free size filter; a Pallas variant was tried and rejected
+    # (361 unaligned lane-offset slices → pathological Mosaic compile time)
+    rm_small = lambda l, ms: jax.vmap(
+        lambda x: cc.remove_small_objects_window(x, ms)
+    )(l)
+
     fg = np_prob >= 0.5
     lab = label_roots(fg)
-    lab = jax.vmap(lambda l: cc.remove_small_objects_window(l, 10))(lab)
+    lab = rm_small(lab, 10)
     blb = lab > 0
     blbf = blb.astype(jnp.float32)
 
@@ -77,9 +83,7 @@ def _instance_map_impl(
     marker = jax.vmap(cc.morph_open)(marker)
     marker_lab = label_roots(marker)
     marker_lab = jax.vmap(cc.compact_root_labels)(marker_lab)
-    marker_lab = jax.vmap(
-        lambda l: cc.remove_small_objects_window(l, object_size)
-    )(marker_lab)
+    marker_lab = rm_small(marker_lab, object_size)
 
     return jax.vmap(watershed)(dist, marker_lab, blb)
 
