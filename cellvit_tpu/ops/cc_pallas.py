@@ -194,3 +194,117 @@ def fill_holes_pallas(
     seed = jnp.broadcast_to(border, (b, h, w)) & bg
     reach = flood_pallas(seed, bg, n_outer=n_outer, interpret=interpret)
     return mask | (bg & ~reach)
+
+
+_WS_INF = np.int32(2**30)
+
+
+def _ws_adopt(lab, q_ref, mask32, bl_ref, bq_ref, t_ref, active, h, w):
+    """One adoption pass: unlabeled active pixels take the label of the
+    labeled 4-neighbor with minimal quantized height (tie order N, S, W, E
+    — matches ops/watershed.py:_adopt). Returns whether anything changed."""
+    bl_ref[...] = jnp.zeros((h, w), jnp.int32)
+    bq_ref[...] = jnp.full((h, w), _WS_INF, jnp.int32)
+    for axis, reverse in ((0, False), (0, True), (1, False), (1, True)):
+        size = h if axis == 0 else w
+        amt = 1 if not reverse else size - 1
+        t_ref[...] = pltpu.roll(lab[...], amt, axis)
+        _set_strip(t_ref, axis, 0 if not reverse else size - 1, 1, 0)
+        nb_lab = t_ref[...]
+        t_ref[...] = pltpu.roll(q_ref[0], amt, axis)
+        _set_strip(t_ref, axis, 0 if not reverse else size - 1, 1, _WS_INF)
+        nb_q = t_ref[...]
+        better = (nb_lab > 0) & (nb_q < bq_ref[...])
+        bl_ref[...] = jnp.where(better, nb_lab, bl_ref[...])
+        bq_ref[...] = jnp.where(better, nb_q, bq_ref[...])
+    cur = lab[...]
+    take = (active != 0) & (cur == 0) & (bl_ref[...] > 0)
+    new = jnp.where(take, bl_ref[...], cur)
+    lab[...] = new
+    return jnp.any(new != cur)
+
+
+def _watershed_kernel(
+    q_ref, mask_ref, marker_ref, lab_ref, bl_ref, bq_ref, t_ref,
+    *, levels: int, inner_iters: int, max_final_iters: int,
+):
+    h, w = lab_ref.shape[1], lab_ref.shape[2]
+    lab = lab_ref.at[0]
+    mask32 = mask_ref[0].astype(jnp.int32)
+    lab[...] = jnp.where(mask32 != 0, marker_ref[0], 0)
+
+    def level_body(lvl, carry):
+        active = jnp.where((mask32 != 0) & (q_ref[0] <= lvl), 1, 0)
+
+        def inner(_, c):
+            _ws_adopt(lab, q_ref, mask32, bl_ref, bq_ref, t_ref, active, h, w)
+            return c
+
+        return jax.lax.fori_loop(0, inner_iters, inner, carry)
+
+    jax.lax.fori_loop(0, levels, level_body, 0)
+
+    # stabilization until no change (same condition as the XLA version)
+    def cond(state):
+        it, changed = state
+        return jnp.logical_and(changed, it < max_final_iters)
+
+    def body(state):
+        it, _ = state
+        ch = _ws_adopt(lab, q_ref, mask32, bl_ref, bq_ref, t_ref, mask32, h, w)
+        return it + 1, ch
+
+    jax.lax.while_loop(cond, body, (0, True))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "inner_iters", "max_final_iters", "interpret"),
+)
+def watershed_pallas(
+    image: jnp.ndarray,
+    markers: jnp.ndarray,
+    mask: jnp.ndarray,
+    levels: int = 64,
+    inner_iters: int = 4,
+    max_final_iters: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched quantized-level-flood watershed, whole image in VMEM.
+
+    Same algorithm and adoption order as `ops.watershed.watershed` (the
+    XLA version spends ~5× longer re-materializing padded neighbor maps in
+    HBM per pass); inputs (B, H, W): image f32 relief, markers int32,
+    mask bool. Returns int32 labels.
+    """
+    b, h, w = image.shape
+    neg = jnp.where(mask, image, jnp.inf)
+    lo = jnp.min(neg, axis=(1, 2), keepdims=True)
+    hi = jnp.max(jnp.where(mask, image, -jnp.inf), axis=(1, 2), keepdims=True)
+    rng = jnp.where(hi > lo, hi - lo, 1.0)
+    q = jnp.clip((image - lo) / rng * (levels - 1), 0, levels - 1).astype(
+        jnp.int32
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _watershed_kernel, levels=levels, inner_iters=inner_iters,
+            max_final_iters=max_final_iters,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((h, w), jnp.int32),
+            pltpu.VMEM((h, w), jnp.int32),
+            pltpu.VMEM((h, w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q, mask.astype(jnp.int8), markers.astype(jnp.int32))

@@ -51,11 +51,17 @@ def _instance_map_impl(
         # marker holes are a few pixels wide — 2 flood passes suffice
         label_roots = lambda m: connected_components_pallas(m, n_outer=3)
         fill = lambda m: fill_holes_pallas(m, n_outer=2)
+        # NB: watershed stays on the XLA version even here — HV markers are
+        # pre-grown blobs, so its early-exit stabilization beats the Pallas
+        # kernel's fixed 64-level loop (49 vs 55 ms at 8×1024²); the Pallas
+        # kernel wins 2.6× on point-seeded floods (cc_pallas.watershed_pallas)
+        flood = jax.vmap(watershed)
     else:
         label_roots = jax.vmap(
             lambda m: cc.connected_components(m, max_iters=cc_iters, compact=False)
         )
         fill = jax.vmap(lambda m: cc.fill_holes(m, max_iters=cc_iters))
+        flood = jax.vmap(watershed)
 
     # scatter-free size filter; a Pallas variant was tried and rejected
     # (361 unaligned lane-offset slices → pathological Mosaic compile time)
@@ -85,7 +91,7 @@ def _instance_map_impl(
     marker_lab = jax.vmap(cc.compact_root_labels)(marker_lab)
     marker_lab = rm_small(marker_lab, object_size)
 
-    return jax.vmap(watershed)(dist, marker_lab, blb)
+    return flood(dist, marker_lab, blb)
 
 
 def instance_map_batch(

@@ -61,3 +61,37 @@ def test_fill_holes_pallas():
     out = np.asarray(fill_holes_pallas(jnp.asarray(m), interpret=True))
     ref = ndimage.binary_fill_holes(m[0])
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_watershed_pallas_matches_xla(rng):
+    from cellvit_tpu.ops.cc_pallas import watershed_pallas
+    from cellvit_tpu.ops.watershed import watershed
+
+    B, H, W = 2, 96, 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.zeros((B, H, W), np.float32)
+    mark = np.zeros((B, H, W), np.int32)
+    mask = np.zeros((B, H, W), bool)
+    for b in range(B):
+        k = 1
+        for _ in range(8):
+            cy = rng.integers(12, H - 12)
+            cx = rng.integers(12, W - 12)
+            r = rng.integers(5, 11)
+            sel = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            mask[b] |= sel
+            img[b] = np.minimum(
+                img[b], -np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (r * r))
+            )
+            mark[b][cy, cx] = k
+            k += 1
+    want = np.stack([
+        np.asarray(watershed(jnp.asarray(img[b]), jnp.asarray(mark[b]),
+                             jnp.asarray(mask[b])))
+        for b in range(B)
+    ])
+    got = np.asarray(watershed_pallas(
+        jnp.asarray(img), jnp.asarray(mark), jnp.asarray(mask),
+        interpret=True,
+    ))
+    np.testing.assert_array_equal(got, want)
