@@ -254,6 +254,7 @@ def CellViT256(
     attn_drop_rate: float = 0.0,
     drop_path_rate: float = 0.0,
     regression_loss: bool = False,
+    remat: bool = False,
     dtype: Dtype = jnp.float32,
 ) -> CellViT:
     """CellViT preset with the HIPT/DINO ViT-256 backbone (reference
@@ -270,6 +271,7 @@ def CellViT256(
         attn_drop_rate=attn_drop_rate,
         drop_path_rate=drop_path_rate,
         regression_loss=regression_loss,
+        remat=remat,
         dtype=dtype,
     )
 
@@ -297,6 +299,7 @@ def CellViTSAM(
     vit_structure: str,
     drop_rate: float = 0.0,
     regression_loss: bool = False,
+    remat: bool = False,
     dtype: Dtype = jnp.float32,
 ) -> CellViT:
     """CellViT preset with a SAM ViTDet backbone (reference
@@ -308,6 +311,7 @@ def CellViTSAM(
         encoder_type="sam",
         drop_rate=drop_rate,
         regression_loss=regression_loss,
+        remat=remat,
         dtype=dtype,
         **cfg,
     )

@@ -55,10 +55,16 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
 
         # large token counts (1024² tiles → 4097 tokens): Pallas flash
-        # attention avoids materializing the O(N²·heads) logits; inference
-        # only (no attn dropout, no custom VJP needed at 256² training)
-        use_flash = n >= 1024 and not train and jax.default_backend() != "cpu"
-        if use_flash:  # no custom VJP: inference only; Pallas needs TPU
+        # attention avoids materializing the O(N²·heads) logits. Custom VJP
+        # (flash backward in Pallas) makes it usable in training too, as
+        # long as no attention dropout is requested (the kernel never
+        # materializes the probability matrix to drop from).
+        use_flash = (
+            n >= 1024
+            and (not train or self.attn_dropout == 0.0)
+            and jax.default_backend() != "cpu"
+        )
+        if use_flash:  # Pallas needs TPU; CPU falls through to XLA
             from cellvit_tpu.ops.attention import flash_attention
 
             out = flash_attention(q, k, v).reshape(b, n, c)

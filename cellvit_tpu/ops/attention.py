@@ -32,9 +32,11 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, n_real: int
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
+    *, scale: float, block_k: int, n_real: int
 ):
-    """Single (batch·head, q-block) program; loops over key blocks."""
+    """Single (batch·head, q-block) program; loops over key blocks.
+    Also emits the log-sum-exp per query row (backward residual)."""
     q = q_ref[0].astype(jnp.float32) * scale  # (TQ, D)
     tq, d = q.shape
     n_kblocks = k_ref.shape[1] // block_k
@@ -59,12 +61,78 @@ def _flash_kernel(
     acc0 = jnp.zeros((tq, d), jnp.float32)
     m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((tq, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, n_kblocks, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, n_kblocks, body, (acc0, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale: float, block_k: int, n_real: int,
+):
+    """dq for one q block: dq = Σ_k (p ∘ (do·vᵀ − Δ)) · k · scale."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    tq, d = q.shape
+    n_kblocks = k_ref.shape[1] // block_k
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        k_idx = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (tq, block_k), 1
+        )
+        logits = jnp.where(k_idx < n_real, logits, NEG_INF)
+        p = jnp.exp(logits - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, n_kblocks, body, jnp.zeros((tq, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale: float, block_q: int, n_real: int,
+):
+    """dk/dv for one k block: dv = Σ_q pᵀ·do; dk = Σ_q dsᵀ·q·scale.
+    Padded queries carry do = 0 and Δ = 0, so they contribute nothing."""
+    k = k_ref[0].astype(jnp.float32)  # (TK, D)
+    v = v_ref[0].astype(jnp.float32)
+    tk, d = k.shape
+    n_qblocks = q_ref.shape[1] // block_q
+    j = pl.program_id(1)
+    k_idx = j * tk + jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+    k_valid = k_idx < n_real  # (1, TK)
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(k_valid, logits, NEG_INF)
+        p = jnp.exp(logits - lse)
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    zero = jnp.zeros((tk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_qblocks, body, (zero, zero))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _flash_kernel_relpos(
-    q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *, scale: float, grid_w: int
+    q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, lse_ref,
+    *, scale: float, grid_w: int
 ):
     """Rel-pos variant: key blocks = one token-grid row (width W)."""
     q = q_ref[0].astype(jnp.float32)  # (TQ, D)
@@ -91,8 +159,94 @@ def _flash_kernel_relpos(
     acc0 = jnp.zeros((tq, d), jnp.float32)
     m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((tq, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, n_kblocks, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, n_kblocks, body, (acc0, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _flash_bwd_dq_kernel_relpos(
+    q_ref, k_ref, v_ref, bh_ref, bw_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dbh_ref, dbw_ref, *, scale: float, grid_w: int,
+):
+    """dq + bias gradients for one q block. dbias = ds (no scale): the
+    scale multiplies only the q·kᵀ term in the forward logits."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    bh = bh_ref[0].astype(jnp.float32)
+    bw = bw_ref[0].astype(jnp.float32)
+    tq, d = q.shape
+    gh = bh.shape[1]
+    n_kblocks = k_ref.shape[1] // grid_w
+
+    def body(i, carry):
+        dq, dbh, dbw = carry
+        k = k_ref[0, pl.ds(i * grid_w, grid_w), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * grid_w, grid_w), :].astype(jnp.float32)
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        logits = logits + bh[:, i][:, None] + bw
+        p = jnp.exp(logits - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        row = jnp.sum(ds, axis=-1, keepdims=True)  # (TQ, 1)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (tq, gh), 1) == i
+        ).astype(jnp.float32)
+        dbh = dbh + row * onehot
+        dbw = dbw + ds
+        return dq, dbh, dbw
+
+    z = (
+        jnp.zeros((tq, d), jnp.float32),
+        jnp.zeros((tq, gh), jnp.float32),
+        jnp.zeros((tq, grid_w), jnp.float32),
+    )
+    dq, dbh, dbw = jax.lax.fori_loop(0, n_kblocks, body, z)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dbh_ref[0] = dbh
+    dbw_ref[0] = dbw
+
+
+def _flash_bwd_dkv_kernel_relpos(
+    q_ref, k_ref, v_ref, bh_ref, bw_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, *, scale: float, block_q: int,
+):
+    """dk/dv for one key block (= token-grid row j = program_id(1))."""
+    k = k_ref[0].astype(jnp.float32)  # (W, D)
+    v = v_ref[0].astype(jnp.float32)
+    tk, d = k.shape
+    n_qblocks = q_ref.shape[1] // block_q
+    j = pl.program_id(1)
+    gh = bh_ref.shape[2]
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
+        bh = bh_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        bw = bw_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        # select bias column j without dynamic lane indexing
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, gh), 1) == j
+        ).astype(jnp.float32)
+        bh_col = jnp.sum(bh * sel, axis=1, keepdims=True)
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        logits = logits + bh_col + bw
+        p = jnp.exp(logits - lse)
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    zero = jnp.zeros((tk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_qblocks, body, (zero, zero))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> Tuple[jnp.ndarray, int]:
@@ -103,6 +257,101 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> Tuple[jnp.ndarray, int]
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, target - n)
     return jnp.pad(x, pad), n
+
+
+def _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, interpret):
+    bh, n_q, d = qf.shape
+    scale = d**-0.5
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=block_k, n_real=n_real
+        ),
+        grid=(bh, n_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, kf.shape[1], d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, kf.shape[1], d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_q, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, n_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_core(qf, kf, vf, block_q, block_k, n_real, interpret):
+    out, _ = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, interpret)
+    return out
+
+
+def _flash_core_fwd(qf, kf, vf, block_q, block_k, n_real, interpret):
+    out, lse = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, interpret)
+    return out, (qf, kf, vf, out, lse)
+
+
+def _flash_core_bwd(block_q, block_k, n_real, interpret, res, do):
+    """Standard flash backward: recompute p per tile from (q, k, lse);
+    Δ = rowsum(do ∘ o); ds = p ∘ (do·vᵀ − Δ)·scale; dq/dk/dv via two
+    kernels (one writes q blocks, one writes k blocks)."""
+    qf, kf, vf, out, lse = res
+    bh, n_q, d = qf.shape
+    n_k = kf.shape[1]
+    scale = d**-0.5
+    do = do.astype(qf.dtype)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, block_k=block_k, n_real=n_real
+        ),
+        grid=(bh, n_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n_k, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_k, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_q, d), qf.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, block_q=block_q, n_real=n_real
+        ),
+        grid=(bh, n_k // block_k),
+        in_specs=[
+            pl.BlockSpec((1, n_q, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n_q, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_q, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_q, 1), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_k, d), kf.dtype),
+            jax.ShapeDtypeStruct((bh, n_k, d), vf.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, do, lse, delta)
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
@@ -117,10 +366,11 @@ def flash_attention(
     """Softmax(q·kᵀ/√d)·v over (B, N, H, D) without materializing logits.
 
     N may be ragged (e.g. 4097 = CLS + 64²); it is zero-padded to the block
-    size and padded keys are masked.
+    size and padded keys are masked. Differentiable: a custom VJP runs the
+    flash backward in Pallas (never materializing logits either), so the
+    kernel is usable in 1024² training.
     """
     b, n, h, d = q.shape
-    scale = d**-0.5
 
     def reshape(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
@@ -129,24 +379,114 @@ def flash_attention(
     qf, _ = _pad_to(qf, 1, block_q)
     kf, n_real = _pad_to(kf, 1, block_k)
     vf, _ = _pad_to(vf, 1, block_k)
-    n_q = qf.shape[1]
 
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, n_real=n_real
-        ),
-        grid=(b * h, n_q // block_q),
+    out = _flash_core(qf, kf, vf, block_q, block_k, n_real, interpret)
+    return out[:, :n, :].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+def _relpos_fwd_call(qf, kf, vf, bh, bw, grid_w, block_q, interpret):
+    bhn, n, d = qf.shape
+    gh = bh.shape[2]
+    scale = d**-0.5
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_relpos, scale=scale, grid_w=grid_w),
+        grid=(bhn, n // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, kf.shape[1], d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, kf.shape[1], d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, gh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, grid_w), lambda i, j: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_q, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bhn, n, d), qf.dtype),
+            jax.ShapeDtypeStruct((bhn, n, 1), jnp.float32),
+        ],
         interpret=interpret,
-    )(qf, kf, vf)
-    out = out[:, :n, :].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    )(qf, kf, vf, bh, bw)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _relpos_core(qf, kf, vf, bh, bw, grid_w, block_q, interpret):
+    out, _ = _relpos_fwd_call(qf, kf, vf, bh, bw, grid_w, block_q, interpret)
     return out
+
+
+def _relpos_core_fwd(qf, kf, vf, bh, bw, grid_w, block_q, interpret):
+    out, lse = _relpos_fwd_call(qf, kf, vf, bh, bw, grid_w, block_q, interpret)
+    return out, (qf, kf, vf, bh, bw, out, lse)
+
+
+def _relpos_core_bwd(grid_w, block_q, interpret, res, do):
+    qf, kf, vf, bh, bw, out, lse = res
+    bhn, n, d = qf.shape
+    gh = bh.shape[2]
+    scale = d**-0.5
+    do = do.astype(qf.dtype)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
+
+    dq, dbh, dbw = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel_relpos, scale=scale, grid_w=grid_w
+        ),
+        grid=(bhn, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, gh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, grid_w), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, gh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, grid_w), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bhn, n, d), qf.dtype),
+            jax.ShapeDtypeStruct((bhn, n, gh), jnp.float32),
+            jax.ShapeDtypeStruct((bhn, n, grid_w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, bh, bw, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel_relpos, scale=scale, block_q=block_q
+        ),
+        grid=(bhn, n // grid_w),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, grid_w, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, grid_w, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, gh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, grid_w), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, grid_w, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, grid_w, d), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bhn, n, d), kf.dtype),
+            jax.ShapeDtypeStruct((bhn, n, d), vf.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, bh, bw, do, lse, delta)
+    return dq, dk, dv, dbh.astype(bh.dtype), dbw.astype(bw.dtype)
+
+
+_relpos_core.defvjp(_relpos_core_fwd, _relpos_core_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
@@ -162,6 +502,11 @@ def flash_attention_relpos(
 ) -> jnp.ndarray:
     """SAM global attention with decomposed rel-pos bias.
 
+    Differentiable: the Pallas core carries a custom VJP producing
+    (dq, dk, dv, dBh, dBw); the bias einsums below sit outside the custom
+    boundary, so autodiff routes dBh/dBw back into q and the rel-pos
+    tables automatically.
+
     Args:
         q/k/v: (B, N, H, D) with N = grid_h · grid_w tokens in row-major
             grid order.
@@ -172,7 +517,7 @@ def flash_attention_relpos(
     gh, gw = grid_hw
     b, n, h, d = q.shape
     assert n == gh * gw
-    scale = d**-0.5
+    assert n % block_q == 0, "grid tokens must tile block_q"
 
     # Bh[b,h,q,i] = Σ_d q·RelH[qi(q), i, d];  Bw[b,h,q,j] similarly
     rq = q.reshape(b, gh, gw, h, d)
@@ -187,20 +532,5 @@ def flash_attention_relpos(
         return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
 
     qf, kf, vf = reshape(q), reshape(k), reshape(v)
-    assert n % block_q == 0, "grid tokens must tile block_q"
-
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel_relpos, scale=scale, grid_w=gw),
-        grid=(b * h, n // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, block_q, gh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, gw), lambda i, j: (i, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf, bh, bw)
+    out = _relpos_core(qf, kf, vf, bh, bw, gw, block_q, interpret)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -64,3 +64,79 @@ def test_flash_attention_relpos_matches_sam_math(rng):
         q, k, v, rh, rw, grid_hw=(gh, gw), block_q=32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_vjp_matches_xla(rng):
+    """Custom flash VJP: forward + dq/dk/dv vs dense XLA attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from cellvit_tpu.ops.attention import flash_attention
+
+    def ref_attn(q, k, v):
+        d = q.shape[-1]
+        a = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q, k) * d**-0.5, -1)
+        return jnp.einsum("bhqk,bkhd->bqhd", a, v)
+
+    for shape in [(1, 37, 2, 16), (2, 512, 2, 32)]:
+        q, k, v = (
+            jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            for _ in range(3)
+        )
+        cot = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        flash = lambda q, k, v: jnp.vdot(
+            flash_attention(q, k, v, block_q=128, block_k=128, interpret=True),
+            cot,
+        )
+        dense = lambda q, k, v: jnp.vdot(ref_attn(q, k, v), cot)
+        np.testing.assert_allclose(
+            np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                       interpret=True)),
+            np.asarray(ref_attn(q, k, v)), atol=2e-5,
+        )
+        for a, b in zip(jax.grad(flash, (0, 1, 2))(q, k, v),
+                        jax.grad(dense, (0, 1, 2))(q, k, v)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_flash_relpos_vjp_matches_xla(rng):
+    """Rel-pos flash VJP: dq/dk/dv and rel-pos-table grads vs dense XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    from cellvit_tpu.ops.attention import flash_attention_relpos
+
+    gh = gw = 16
+    b, h, d = 1, 2, 16
+    n = gh * gw
+
+    def ref(q, k, v, rh, rw):
+        rq = q.reshape(b, gh, gw, h, d)
+        bhb = jnp.einsum("bijnd,ikd->bnijk", rq, rh)
+        bwb = jnp.einsum("bijnd,jld->bnijl", rq, rw)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * d**-0.5
+        bias = (bhb[..., :, None] + bwb[..., None, :]).reshape(b, h, n, n)
+        return jnp.einsum(
+            "bhqk,bkhd->bqhd", jax.nn.softmax(attn + bias, -1), v
+        )
+
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+        for _ in range(3)
+    )
+    rh = jnp.asarray(rng.standard_normal((gh, gh, d)) * 0.3, jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((gw, gw, d)) * 0.3, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+
+    flash = lambda *a: jnp.vdot(
+        flash_attention_relpos(*a, grid_hw=(gh, gw), block_q=64,
+                               interpret=True), cot)
+    dense = lambda *a: jnp.vdot(ref(*a), cot)
+    np.testing.assert_allclose(
+        np.asarray(flash_attention_relpos(q, k, v, rh, rw, grid_hw=(gh, gw),
+                                          block_q=64, interpret=True)),
+        np.asarray(ref(q, k, v, rh, rw)), atol=3e-5,
+    )
+    for a, bb in zip(jax.grad(flash, (0, 1, 2, 3, 4))(q, k, v, rh, rw),
+                     jax.grad(dense, (0, 1, 2, 3, 4))(q, k, v, rh, rw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)
