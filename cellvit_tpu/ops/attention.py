@@ -36,16 +36,20 @@ def _flash_kernel(
     *, scale: float, block_k: int, n_real: int
 ):
     """Single (batch·head, q-block) program; loops over key blocks.
-    Also emits the log-sum-exp per query row (backward residual)."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (TQ, D)
+    Also emits the log-sum-exp per query row (backward residual).
+
+    Matmul inputs stay in the storage dtype (bf16) with fp32 accumulation —
+    the MXU's native mode; upcasting inputs to fp32 would run the systolic
+    array at a fraction of peak (measured 19→70+ TF/s on v5e)."""
+    q = q_ref[0]  # (TQ, D)
     tq, d = q.shape
     n_kblocks = k_ref.shape[1] // block_k
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         k_idx = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (tq, block_k), 1
         )
@@ -55,7 +59,9 @@ def _flash_kernel(
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((tq, d), jnp.float32)
@@ -70,17 +76,18 @@ def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     *, scale: float, block_k: int, n_real: int,
 ):
-    """dq for one q block: dq = Σ_k (p ∘ (do·vᵀ − Δ)) · k · scale."""
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    """dq for one q block: dq = Σ_k (p ∘ (do·vᵀ − Δ)) · k · scale.
+    Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]
     delta = delta_ref[0]
     tq, d = q.shape
     n_kblocks = k_ref.shape[1] // block_k
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         k_idx = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (tq, block_k), 1
@@ -88,7 +95,7 @@ def _flash_bwd_dq_kernel(
         logits = jnp.where(k_idx < n_real, logits, NEG_INF)
         p = jnp.exp(logits - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, n_kblocks, body, jnp.zeros((tq, d), jnp.float32))
@@ -100,9 +107,10 @@ def _flash_bwd_dkv_kernel(
     *, scale: float, block_q: int, n_real: int,
 ):
     """dk/dv for one k block: dv = Σ_q pᵀ·do; dk = Σ_q dsᵀ·q·scale.
-    Padded queries carry do = 0 and Δ = 0, so they contribute nothing."""
-    k = k_ref[0].astype(jnp.float32)  # (TK, D)
-    v = v_ref[0].astype(jnp.float32)
+    Padded queries carry do = 0 and Δ = 0, so they contribute nothing.
+    Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
+    k = k_ref[0]  # (TK, D)
+    v = v_ref[0]
     tk, d = k.shape
     n_qblocks = q_ref.shape[1] // block_q
     j = pl.program_id(1)
@@ -111,16 +119,17 @@ def _flash_bwd_dkv_kernel(
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
         logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         logits = jnp.where(k_valid, logits, NEG_INF)
         p = jnp.exp(logits - lse)
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        pt = p.astype(do.dtype).T
+        dv = dv + jnp.dot(pt, do, preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
         dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -134,8 +143,9 @@ def _flash_kernel_relpos(
     q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, lse_ref,
     *, scale: float, grid_w: int
 ):
-    """Rel-pos variant: key blocks = one token-grid row (width W)."""
-    q = q_ref[0].astype(jnp.float32)  # (TQ, D)
+    """Rel-pos variant: key blocks = one token-grid row (width W).
+    Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
+    q = q_ref[0]  # (TQ, D)
     tq, d = q.shape
     n_kblocks = k_ref.shape[1] // grid_w
     bh = bh_ref[0].astype(jnp.float32)  # (TQ, Hk)
@@ -143,8 +153,8 @@ def _flash_kernel_relpos(
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * grid_w, grid_w), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * grid_w, grid_w), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * grid_w, grid_w), :]
+        v = v_ref[0, pl.ds(i * grid_w, grid_w), :]
         logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         # key block i covers grid row i: bias = Bh[:, i] ⊕ Bw
         logits = logits + bh[:, i][:, None] + bw
@@ -153,7 +163,9 @@ def _flash_kernel_relpos(
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((tq, d), jnp.float32)
@@ -169,9 +181,10 @@ def _flash_bwd_dq_kernel_relpos(
     dq_ref, dbh_ref, dbw_ref, *, scale: float, grid_w: int,
 ):
     """dq + bias gradients for one q block. dbias = ds (no scale): the
-    scale multiplies only the q·kᵀ term in the forward logits."""
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    scale multiplies only the q·kᵀ term in the forward logits.
+    Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]
     delta = delta_ref[0]
     bh = bh_ref[0].astype(jnp.float32)
@@ -182,14 +195,16 @@ def _flash_bwd_dq_kernel_relpos(
 
     def body(i, carry):
         dq, dbh, dbw = carry
-        k = k_ref[0, pl.ds(i * grid_w, grid_w), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * grid_w, grid_w), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * grid_w, grid_w), :]
+        v = v_ref[0, pl.ds(i * grid_w, grid_w), :]
         logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         logits = logits + bh[:, i][:, None] + bw
         p = jnp.exp(logits - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dq = dq + jnp.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        ) * scale
         row = jnp.sum(ds, axis=-1, keepdims=True)  # (TQ, 1)
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (tq, gh), 1) == i
@@ -213,9 +228,10 @@ def _flash_bwd_dkv_kernel_relpos(
     q_ref, k_ref, v_ref, bh_ref, bw_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, *, scale: float, block_q: int,
 ):
-    """dk/dv for one key block (= token-grid row j = program_id(1))."""
-    k = k_ref[0].astype(jnp.float32)  # (W, D)
-    v = v_ref[0].astype(jnp.float32)
+    """dk/dv for one key block (= token-grid row j = program_id(1)).
+    Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
+    k = k_ref[0]  # (W, D)
+    v = v_ref[0]
     tk, d = k.shape
     n_qblocks = q_ref.shape[1] // block_q
     j = pl.program_id(1)
@@ -223,8 +239,8 @@ def _flash_bwd_dkv_kernel_relpos(
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
         bh = bh_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
@@ -237,9 +253,11 @@ def _flash_bwd_dkv_kernel_relpos(
         logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         logits = logits + bh_col + bw
         p = jnp.exp(logits - lse)
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dv = dv + jnp.dot(
+            p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
+        )
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
         return dk, dv
 
@@ -359,8 +377,8 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Softmax(q·kᵀ/√d)·v over (B, N, H, D) without materializing logits.
