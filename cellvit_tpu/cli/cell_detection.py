@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--outdir_subdir", type=str, default=None)
     parser.add_argument("--geojson", action="store_true")
+    # patch geometry: 1024/64 is the reference cell_detection.py pipeline,
+    # 256/64 the reference cell_detection_256.py pipeline — one parameterized
+    # implementation here
+    parser.add_argument("--patch_size", type=int, default=1024, choices=(256, 1024))
+    parser.add_argument("--overlap", type=int, default=64)
 
     subparsers = parser.add_subparsers(dest="command", required=True)
 
@@ -66,10 +71,14 @@ def main() -> None:
             name=wsi_path.stem, patient=wsi_path.stem, slide_path=wsi_path,
             patched_slide_path=patched,
         )
-        inference.check_wsi(wsi, magnification=args.magnification)
+        inference.check_wsi(
+            wsi, magnification=args.magnification,
+            patch_size=args.patch_size, overlap=args.overlap,
+        )
         inference.process_wsi(
             wsi, subdir_name=args.outdir_subdir, geojson=args.geojson,
             magnification=args.magnification,
+            patch_size=args.patch_size, overlap=args.overlap,
         )
 
     if args.command == "process_wsi":

@@ -91,10 +91,16 @@ class CellSegmentationInference:
         batch_size: int = 8,
         mixed_precision: bool = False,
         max_instances_per_tile: int = 2048,
+        mesh=None,
         logger=None,
     ) -> None:
+        """`mesh`: optional jax.sharding.Mesh — tile batches are sharded
+        over its `data` axis (SURVEY §2.10 patch-batch sharding for WSI
+        inference); ragged tails are padded to the data-axis multiple and
+        the padding dropped on host."""
         self.batch_size = batch_size
         self.max_instances = max_instances_per_tile
+        self.mesh = mesh
         self.logger = logger or Logger(level="INFO").create_logger()
 
         if model_path is not None:
@@ -116,14 +122,28 @@ class CellSegmentationInference:
         self.mean = np.asarray(norm.get("mean", (0.5, 0.5, 0.5)), np.float32)
         self.std = np.asarray(norm.get("std", (0.5, 0.5, 0.5)), np.float32)
         self.num_nuclei_classes = self.run_conf["data"]["num_nuclei_classes"]
+        if self.mesh is not None:
+            from cellvit_tpu.parallel.mesh import replicate
+
+            self.variables = jax.device_put(
+                self.variables, replicate(self.mesh)
+            )
         self._forward = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False, retrieve_tokens=True)
         )
 
     # ----------------------------------------------------------- checks
 
-    def check_wsi(self, wsi: WSI, magnification: float = 40.0) -> None:
-        """Sanity checks (reference cell_detection.py:1009-1039)."""
+    def check_wsi(
+        self,
+        wsi: WSI,
+        magnification: float = 40.0,
+        patch_size: int = 1024,
+        overlap: int = 64,
+    ) -> None:
+        """Sanity checks (reference cell_detection.py:1009-1039; the 256²
+        pipeline uses the same checks at patch 256/overlap 64,
+        cell_detection_256.py)."""
         if wsi.metadata["magnification"] is not None:
             patch_mag = float(wsi.metadata["magnification"])
         else:
@@ -135,10 +155,10 @@ class CellSegmentationInference:
                 f"magnification mismatch: patches at {patch_mag}, "
                 f"requested {magnification}"
             )
-        if int(wsi.metadata["patch_size"]) != 1024:
-            raise RuntimeError("patch size must be 1024")
-        if int(wsi.metadata["patch_overlap"]) != 64:
-            raise RuntimeError("patch overlap must be 64")
+        if int(wsi.metadata["patch_size"]) != patch_size:
+            raise RuntimeError(f"patch size must be {patch_size}")
+        if int(wsi.metadata["patch_overlap"]) != overlap:
+            raise RuntimeError(f"patch overlap must be {overlap}")
 
     # ----------------------------------------------------------- core
 
@@ -152,7 +172,16 @@ class CellSegmentationInference:
         host assembly can overlap with the next batch's device work.
         """
         x = (imgs - self.mean) / self.std
-        out = self._forward(self.variables, jnp.asarray(x))
+        n_batch = x.shape[0]
+        if self.mesh is not None:
+            from cellvit_tpu.parallel.mesh import pad_batch_to, shard_batch
+
+            n_data = self.mesh.shape["data"]
+            padded = -(-n_batch // n_data) * n_data
+            x = shard_batch(pad_batch_to(np.asarray(x), padded), self.mesh)
+            out = self._forward(self.variables, x)
+        else:
+            out = self._forward(self.variables, jnp.asarray(x))
         np_prob = jax.nn.softmax(out["nuclei_binary_map"].astype(jnp.float32), -1)
         nt_prob = jax.nn.softmax(out["nuclei_type_map"].astype(jnp.float32), -1)
         ksize, object_size = (21, 10) if magnification == 40 else (11, 3)
@@ -168,9 +197,11 @@ class CellSegmentationInference:
             max_instances=self.max_instances,
             num_classes=self.num_nuclei_classes,
         )
-        inst_np = np.asarray(inst)
-        stats = jax.tree_util.tree_map(np.asarray, stats)
-        tokens = np.asarray(out["tokens"], np.float32)
+        inst_np = np.asarray(inst)[:n_batch]
+        stats = jax.tree_util.tree_map(
+            lambda a: np.asarray(a)[:n_batch], stats
+        )
+        tokens = np.asarray(out["tokens"], np.float32)[:n_batch]
         return inst_np, stats, tokens
 
     def _predict_batch(

@@ -1,21 +1,33 @@
-"""Pipelined multi-WSI cell detection.
+"""Pipelined multi-WSI cell detection with bounded host memory.
 
 Reference parity: `inference/cell_detection_mp.py` (community-contributed
 pipelined runner, :130-931): a filelist-level dataset spanning many WSIs
-feeds the accelerator loop continuously; when a WSI's patches complete,
-its host postprocessing (contours, cell assembly, dedup, writers, zip) is
-dispatched to a worker pool with backpressure, and per-WSI flag files make
-runs resumable (`--overwrite` to redo).
+feeds the accelerator loop continuously; host postprocessing (contours,
+cell assembly, dedup, writers, zip) runs in a worker pool with
+backpressure, and per-WSI flag files make runs resumable (`--overwrite`
+to redo).
 
 Division of labor differs from the reference by design: watershed +
 instance statistics already ran on device in the accelerator loop, so the
-workers only do contour tracing, dict assembly, dedup and serialization on
-compact numpy payloads.
+workers only do contour/dict assembly, dedup and serialization.
+
+Memory model (the reference pickles one whole-WSI payload per worker,
+cell_detection_mp.py:876-931 — ~6 MB/patch of token maps, unbounded):
+here the heavy per-patch records (instance map + ViT token map) are
+dispatched in fixed-size CHUNKS as the device loop produces them; chunk
+workers reduce them to compact per-cell dicts (token crop-means included),
+and a per-WSI finalize step dedups + writes files. Peak host memory is
+O(max_outstanding · chunk_size · record) + O(cells), never O(WSI · record).
+
+Workers run in a 'spawn' multiprocessing context: fork is unsafe once JAX
+has started its device threads (deadlock warning observed under fork).
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing
+import time
 import zipfile
 from concurrent.futures import Future, ProcessPoolExecutor
 from pathlib import Path
@@ -34,22 +46,18 @@ from cellvit_tpu.inference.geojson_export import TYPE_NUCLEI_DICT, convert_geojs
 FLAG_FILE_NAME = ".cell_detection_done"
 
 
-def postprocess_wsi_worker(
-    payload: Dict,
-) -> Tuple[str, int]:
-    """Worker: per-patch device outputs → deduped cell set → files.
+def postprocess_chunk_worker(payload: Dict) -> Dict:
+    """Worker stage 1: a CHUNK of per-patch device outputs → compact cells.
 
-    Runs in a separate process; everything in `payload` is plain numpy /
-    python data (reference `f_post_processing_worker`,
-    cell_detection_mp.py:218-412).
+    Everything in `payload` is plain numpy / python data. Returns per-cell
+    dicts plus graph features (per-cell token means) — the heavy (Ht, Wt, E)
+    token maps never leave this process. Mirrors the per-cell assembly of
+    the reference worker (cell_detection_mp.py:218-340) on a bounded slice.
     """
     records = payload["records"]  # list of (inst_map, stats, tokens, meta)
-    wsi_meta = payload["wsi_metadata"]
-    outdir = Path(payload["outdir"])
     patch_size = payload["patch_size"]
     overlap = payload["overlap"]
-    geojson = payload["geojson"]
-    scaling = wsi_meta["downsampling"]
+    scaling = payload["scaling"]
     token_patch = payload["token_patch_size"]
 
     cells: List[Dict] = []
@@ -109,6 +117,41 @@ def postprocess_wsi_worker(
             graph_positions.append(centroid_global)
             graph_contours.append(contour_global)
 
+    return {
+        "cells": cells,
+        "detections": detections,
+        "graph_tokens": graph_tokens,
+        "graph_positions": graph_positions,
+        "graph_contours": graph_contours,
+        "processed_patches": processed_patches,
+    }
+
+
+def finalize_wsi_worker(payload: Dict) -> Tuple[str, int]:
+    """Worker stage 2: merged compact chunks → dedup → output files.
+
+    Writes cells.json / cell_detection.json / optional geojson, a zip of
+    all of them, cells.pt graph, and the resume flag file (reference
+    cell_detection_mp.py:368-412).
+    """
+    wsi_meta = payload["wsi_metadata"]
+    outdir = Path(payload["outdir"])
+    geojson = payload["geojson"]
+
+    cells: List[Dict] = []
+    detections: List[Dict] = []
+    graph_tokens: List[np.ndarray] = []
+    graph_positions: List[np.ndarray] = []
+    graph_contours: List[np.ndarray] = []
+    processed_patches: List[str] = []
+    for chunk in payload["chunks"]:
+        cells.extend(chunk["cells"])
+        detections.extend(chunk["detections"])
+        graph_tokens.extend(chunk["graph_tokens"])
+        graph_positions.extend(chunk["graph_positions"])
+        graph_contours.extend(chunk["graph_contours"])
+        processed_patches.extend(chunk["processed_patches"])
+
     keep = dd.CellPostProcessor(cells).post_process_cells()
     cells = [cells[i] for i in keep]
     detections = [detections[i] for i in keep]
@@ -130,7 +173,7 @@ def postprocess_wsi_worker(
         files["cells.geojson"] = convert_geojson(cells, True)
         files["cell_detection.geojson"] = convert_geojson(cells, False)
 
-    # zip outputs (reference zips results, :368-404)
+    # zip outputs incrementally (reference zips results, :368-404)
     with zipfile.ZipFile(outdir / "cells.zip", "w", zipfile.ZIP_DEFLATED) as zf:
         for name, data in files.items():
             zf.writestr(name, json.dumps(data, indent=2))
@@ -159,13 +202,17 @@ def postprocess_wsi_worker(
 
 
 class CellSegmentationInferenceParallel(CellSegmentationInference):
-    """Multi-WSI runner: device loop + postprocessing worker pool."""
+    """Multi-WSI runner: device loop + chunked postprocessing worker pool."""
+
+    # observability hook for tests: max record-count of any dispatched chunk
+    last_max_chunk_records: int = 0
 
     def process_wsi_filelist(
         self,
         wsis: List[WSI],
         n_workers: int = 4,
         max_outstanding: int = 4,
+        chunk_size: int = 32,
         patch_size: int = 1024,
         overlap: int = 64,
         geojson: bool = False,
@@ -174,21 +221,23 @@ class CellSegmentationInferenceParallel(CellSegmentationInference):
         magnification: Optional[float] = None,
     ) -> List[Tuple[str, int]]:
         results: List[Tuple[str, int]] = []
-        futures: List[Future] = []
+        finalize_futures: List[Future] = []
+        self.last_max_chunk_records = 0
 
         def drain(block: bool) -> None:
             # backpressure loop (reference :915-921)
-            while futures and (block or len(futures) >= max_outstanding):
-                fut = futures[0]
+            while finalize_futures and (
+                block or len(finalize_futures) >= max_outstanding
+            ):
+                fut = finalize_futures[0]
                 if not block and not fut.done():
-                    import time
-
                     time.sleep(0.05)
                     continue
                 results.append(fut.result())
-                futures.pop(0)
+                finalize_futures.pop(0)
 
-        with ProcessPoolExecutor(max_workers=n_workers) as pool:
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=n_workers, mp_context=ctx) as pool:
             for wsi in wsis:
                 outdir = wsi.patched_slide_path / "cell_detection"
                 if subdir_name:
@@ -198,7 +247,6 @@ class CellSegmentationInferenceParallel(CellSegmentationInference):
                     continue
                 mag = magnification or wsi.metadata.get("magnification") or 40
                 dataset = PatchedWSIInference(wsi)
-                records = []
                 from cellvit_tpu.data.loader import DataLoader, SequentialSampler
 
                 loader = DataLoader(
@@ -206,27 +254,66 @@ class CellSegmentationInferenceParallel(CellSegmentationInference):
                     sampler=SequentialSampler(len(dataset)), num_workers=8,
                     collate_fn=PatchedWSIInference.collate_batch,
                 )
+                chunk_futures: List[Future] = []
+                records: List = []
+                n_patches = 0
+
+                def submit_chunk() -> None:
+                    nonlocal records
+                    if not records:
+                        return
+                    self.last_max_chunk_records = max(
+                        self.last_max_chunk_records, len(records)
+                    )
+                    # bound outstanding heavy payloads (token maps)
+                    while (
+                        sum(not f.done() for f in chunk_futures)
+                        >= max_outstanding
+                    ):
+                        time.sleep(0.05)
+                    chunk_futures.append(
+                        pool.submit(
+                            postprocess_chunk_worker,
+                            {
+                                "records": records,
+                                "patch_size": patch_size,
+                                "overlap": overlap,
+                                "scaling": wsi.metadata["downsampling"],
+                                "token_patch_size": self.model.patch_size,
+                            },
+                        )
+                    )
+                    records = []
+
                 for imgs, metadata in loader:
                     inst_np, stats, tokens = self._device_outputs(imgs, mag)
                     for i, meta in enumerate(metadata):
-                        per = {
-                            k: v[i] for k, v in stats.items()
-                        }
+                        per = {k: v[i] for k, v in stats.items()}
                         records.append(
                             (inst_np[i].astype(np.int32), per, tokens[i], meta)
                         )
-                payload = {
-                    "records": records,
-                    "wsi_metadata": wsi.metadata,
-                    "outdir": str(outdir),
-                    "patch_size": patch_size,
-                    "overlap": overlap,
-                    "geojson": geojson,
-                    "token_patch_size": self.model.patch_size,
-                }
-                futures.append(pool.submit(postprocess_wsi_worker, payload))
+                        n_patches += 1
+                        if len(records) >= chunk_size:
+                            submit_chunk()
+                submit_chunk()
+
+                # gather compact chunk results (cells only — token maps were
+                # reduced in the workers), then hand off dedup + writing
+                chunks = [f.result() for f in chunk_futures]
+                finalize_futures.append(
+                    pool.submit(
+                        finalize_wsi_worker,
+                        {
+                            "chunks": chunks,
+                            "wsi_metadata": wsi.metadata,
+                            "outdir": str(outdir),
+                            "geojson": geojson,
+                        },
+                    )
+                )
                 self.logger.info(
-                    f"{wsi.name}: {len(records)} patches queued for postprocessing"
+                    f"{wsi.name}: {n_patches} patches in {len(chunks)} chunks "
+                    "queued for postprocessing"
                 )
                 drain(block=False)
             drain(block=True)

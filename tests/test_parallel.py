@@ -91,3 +91,49 @@ def test_remat_training_step():
     a = jax.tree_util.tree_leaves(g1)[0]
     b = jax.tree_util.tree_leaves(g2)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_sharded_wsi_inference_matches_single_device():
+    """Patch-batch sharding over the data axis produces identical device
+    outputs to unsharded inference, including ragged-tail padding
+    (SURVEY §2.10: patch-batch sharding for WSI inference)."""
+    from cellvit_tpu.inference.cell_detection import CellSegmentationInference
+    from cellvit_tpu.utils.logger import Logger
+    from tests.test_models_forward import tiny_cellvit
+
+    model = tiny_cellvit()
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+
+    def make(mesh):
+        inf = CellSegmentationInference.__new__(CellSegmentationInference)
+        inf.logger = Logger(level="WARNING").create_logger()
+        inf.batch_size = 5
+        inf.max_instances = 64
+        inf.mesh = mesh
+        inf.mean = np.array([0.5, 0.5, 0.5], np.float32)
+        inf.std = np.array([0.5, 0.5, 0.5], np.float32)
+        inf.num_nuclei_classes = 6
+        inf.variables = variables
+        inf.model = model
+        inf._forward = jax.jit(
+            lambda v, a: model.apply(v, a, train=False, retrieve_tokens=True)
+        )
+        return inf
+
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(0, 1, (5, 64, 64, 3)).astype(np.float32)  # ragged vs 4
+
+    single = make(None)
+    inst_a, stats_a, tok_a = single._device_outputs(imgs, magnification=40)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = make(mesh)
+    inst_b, stats_b, tok_b = sharded._device_outputs(imgs, magnification=40)
+
+    np.testing.assert_array_equal(inst_a, inst_b)
+    np.testing.assert_allclose(tok_a, tok_b, rtol=1e-5, atol=1e-5)
+    for k in stats_a:
+        np.testing.assert_allclose(
+            stats_a[k], stats_b[k], rtol=1e-5, atol=1e-5, err_msg=k
+        )

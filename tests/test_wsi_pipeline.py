@@ -119,6 +119,28 @@ def test_wsi_datamodel(preprocessed_wsi):
     assert "row" in meta and "col" in meta
 
 
+def test_check_wsi_parameterized(preprocessed_wsi):
+    """check_wsi accepts the geometry the slide was patched with (256²
+    path, reference cell_detection_256.py) and rejects mismatches."""
+    from cellvit_tpu.data.wsi import WSI
+    from cellvit_tpu.inference.cell_detection import CellSegmentationInference
+
+    slide_path, patched, *_ = preprocessed_wsi
+    wsi = WSI(
+        name="slide1", patient="p1", slide_path=slide_path,
+        patched_slide_path=patched,
+    )
+    inf = CellSegmentationInference.__new__(CellSegmentationInference)
+    mag = wsi.metadata["magnification"]
+    inf.check_wsi(wsi, magnification=mag, patch_size=256, overlap=64)
+    with pytest.raises(RuntimeError, match="patch size"):
+        inf.check_wsi(wsi, magnification=mag, patch_size=1024, overlap=64)
+    with pytest.raises(RuntimeError, match="overlap"):
+        inf.check_wsi(wsi, magnification=mag, patch_size=256, overlap=128)
+    with pytest.raises(RuntimeError, match="magnification"):
+        inf.check_wsi(wsi, magnification=mag * 2, patch_size=256, overlap=64)
+
+
 class OracleInference:
     """Analytic 'model' for pipeline tests: NP from darkness, HV from the
     GT generator — lets the device postproc reconstruct the blobs."""
@@ -319,9 +341,12 @@ def test_parallel_detection_and_resume(preprocessed_wsi, detection_run):
 
     results = inf.process_wsi_filelist(
         [wsi], n_workers=2, patch_size=256, overlap=64, geojson=True,
-        subdir_name="mp",
+        subdir_name="mp", chunk_size=3,
     )
     assert len(results) == 1
+    # streaming: heavy payloads are dispatched in bounded chunks, never
+    # one whole-WSI record list
+    assert 0 < inf.last_max_chunk_records <= 3
     outdir = Path(results[0][0])
     n_cells_mp = results[0][1]
     assert (outdir / "cells.json").exists()
