@@ -142,10 +142,16 @@ def cell_type_detection_scores(
     fp_d = (unpaired_pred == type_id).sum()
     fn_d = (unpaired_true == type_id).sum()
 
-    prec = (tp_dt + tn_dt) / (tp_dt + tn_dt + w[0] * fp_dt + w[2] * fp_d)
-    rec = (tp_dt + tn_dt) / (tp_dt + tn_dt + w[1] * fn_dt + w[3] * fn_d)
-    f1 = (2 * (tp_dt + tn_dt)) / (
-        2 * (tp_dt + tn_dt) + w[0] * fp_dt + w[1] * fn_dt + w[2] * fp_d + w[3] * fn_d
+    def safe_div(num: float, den: float) -> float:
+        # no samples of this type at all → undefined, reported as nan
+        # (matches the reference's 0/0 result without the RuntimeWarning)
+        return float(num) / float(den) if den != 0 else float("nan")
+
+    prec = safe_div(tp_dt + tn_dt, tp_dt + tn_dt + w[0] * fp_dt + w[2] * fp_d)
+    rec = safe_div(tp_dt + tn_dt, tp_dt + tn_dt + w[1] * fn_dt + w[3] * fn_d)
+    f1 = safe_div(
+        2 * (tp_dt + tn_dt),
+        2 * (tp_dt + tn_dt) + w[0] * fp_dt + w[1] * fn_dt + w[2] * fp_d + w[3] * fn_d,
     )
     return f1, prec, rec
 

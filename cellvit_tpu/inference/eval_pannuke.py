@@ -230,7 +230,7 @@ class InferenceCellViT:
                         vals = (np.nan, np.nan, np.nan)
                     else:
                         [d_, s_, p_], _ = M.get_fast_pq(
-                            M.remap_label(pred_j), M.remap_label(gt_j)
+                            M.remap_label(gt_j), M.remap_label(pred_j)
                         )
                         vals = (d_, s_, p_)
                     t_dq.append(vals[0]), t_sq.append(vals[1]), t_pq.append(vals[2])
