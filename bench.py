@@ -7,9 +7,30 @@ available accelerator and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 `vs_baseline` is the ratio to an A100 torch reference-pipeline estimate of
-BASELINE_A100_PPS 1024² patches/sec (CellViT-256 forward + the reference's
-GPU-accelerated postprocessing; the reference repo publishes no absolute
-number — this anchor is documented here so the ratio is reproducible).
+BASELINE_A100_PPS 1024² patches/sec. The reference repo publishes no
+absolute throughput (BASELINE.md), so the anchor is DERIVED, favorably to
+the reference:
+
+1. Forward FLOPs (architecture-determined, identical in both frameworks),
+   CellViT-256 at 1024²: ViT-256 encoder (d=384, depth 12, N=64²=4096
+   tokens) is 12·N·d² + 2·N²·d MACs/block × 12 blocks ≈ 0.48 TFLOPs; the
+   three HoVer-Net decoder towers + skips add ≈2.4 TFLOPs (dominated by the
+   stride-1 3×3 convs at 256²/512²/1024²) → ≈2.9 TFLOPs/img.
+2. A100-SXM bf16 dense peak is 312 TFLOP/s; at a generous 45% average
+   utilization for this ViT+U-Net mix, forward ≈ 21 ms/img ≈ 48 img/s.
+3. Postprocessing as shipped runs serially per tile on the host inside the
+   inference loop (`cell_detection.py:321` → `models/.../cellvit.py:332-426`
+   per-image loop; cv2 Sobel k=21, scipy label/fill_holes, skimage
+   watershed). Our same-semantics host oracle (`ops/hv_postproc_np.py`)
+   measures 1.6 s per realistic 1024² tile (~450 nuclei) with a Python-heap
+   watershed; crediting the reference's all-C/Cython path 4× over that
+   gives ≈0.4 s/tile → serial end-to-end ≈ 2.4 patches/s.
+4. Granting the reference a 4-worker postproc pool it does not actually
+   ship at 1024² (its mp variant pipelines per-WSI, not per-tile):
+   1 / max(0.021, 0.4/4) ≈ 10 patches/s; BASELINE_A100_PPS = 8.0 sits
+   between the shipped (2.4) and idealized (10) figures, on the favorable
+   side.
+
 The rebuild target is vs_baseline ≥ 3.0.
 """
 
@@ -19,7 +40,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_A100_PPS = 8.0  # estimated A100 1024² patches/sec, torch reference
+BASELINE_A100_PPS = 8.0  # derived A100 1024² patches/sec — see module docstring
 BATCH = 8
 TILE = 1024
 WARMUP = 2

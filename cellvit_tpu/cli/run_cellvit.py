@@ -34,6 +34,20 @@ def main() -> None:
         print(f"sweep finished; best run: {best}")
         return
 
+    if config.get("agent"):
+        # join an existing sweep as an extra agent (reference
+        # run_cellvit.py:46-82 wandb.agent; local claim-file protocol)
+        from cellvit_tpu.train.sweeper import resolve_sweep_dir, run_agent
+
+        import os
+
+        sweep_dir = resolve_sweep_dir(config["agent"], config)
+        best, _ = run_agent(
+            sweep_dir, experiment_class, agent_name=f"agent-{os.getpid()}"
+        )
+        print(f"agent finished; best run so far: {best}")
+        return
+
     experiment = experiment_class(config, checkpoint=config.get("checkpoint"))
     run_dir, model, trainer, state = experiment.run_experiment()
 

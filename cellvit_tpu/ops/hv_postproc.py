@@ -29,7 +29,7 @@ from cellvit_tpu.ops.watershed import watershed
 
 @partial(
     jax.jit,
-    static_argnames=("object_size", "ksize", "cc_iters", "use_pallas"),
+    static_argnames=("object_size", "ksize", "cc_iters", "use_pallas", "levels"),
 )
 def _instance_map_impl(
     np_prob: jnp.ndarray,
@@ -38,6 +38,7 @@ def _instance_map_impl(
     ksize: int,
     cc_iters: int,
     use_pallas: bool,
+    levels: int,
 ) -> jnp.ndarray:
     b, h, w = np_prob.shape
 
@@ -55,13 +56,13 @@ def _instance_map_impl(
         # pre-grown blobs, so its early-exit stabilization beats the Pallas
         # kernel's fixed 64-level loop (49 vs 55 ms at 8×1024²); the Pallas
         # kernel wins 2.6× on point-seeded floods (cc_pallas.watershed_pallas)
-        flood = jax.vmap(watershed)
+        flood = jax.vmap(partial(watershed, levels=levels))
     else:
         label_roots = jax.vmap(
             lambda m: cc.connected_components(m, max_iters=cc_iters, compact=False)
         )
         fill = jax.vmap(lambda m: cc.fill_holes(m, max_iters=cc_iters))
-        flood = jax.vmap(watershed)
+        flood = jax.vmap(partial(watershed, levels=levels))
 
     # scatter-free size filter; a Pallas variant was tried and rejected
     # (361 unaligned lane-offset slices → pathological Mosaic compile time)
@@ -101,6 +102,7 @@ def instance_map_batch(
     ksize: int = 21,
     cc_iters: int = 64,
     use_pallas: Optional[bool] = None,
+    levels: int = 64,
 ) -> jnp.ndarray:
     """Batched HV postprocessing.
 
@@ -111,6 +113,8 @@ def instance_map_batch(
             20×; reference post_proc_cellvit.py:55-65).
         use_pallas: force the Pallas (TPU) or XLA (CPU) kernel path;
             default picks by backend.
+        levels: watershed relief quantization levels (see ops/watershed.py;
+            PQ impact measured by eval/pq_delta.py — see docs/PARITY.md).
     Returns:
         (B, H, W) int32 instance maps (0 = background). Label ids follow
         the watershed-marker numbering; use `cellvit_tpu.ops.instance_stats`
@@ -119,5 +123,5 @@ def instance_map_batch(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     return _instance_map_impl(
-        np_prob, hv_map, object_size, ksize, cc_iters, use_pallas
+        np_prob, hv_map, object_size, ksize, cc_iters, use_pallas, levels
     )

@@ -105,6 +105,8 @@ class ExperimentCellVitPanNuke(BaseExperiment):
     """PanNuke CellViT training experiment."""
 
     dataset_name = "pannuke"
+    # reference experiment_cellvit_pannuke.py:782-840
+    allowed_sampling_strategies = ("random", "cell", "tissue", "cell+tissue")
 
     def __init__(self, default_conf: Dict, checkpoint: Optional[str] = None) -> None:
         super().__init__(default_conf, checkpoint)
@@ -114,6 +116,9 @@ class ExperimentCellVitPanNuke(BaseExperiment):
         path = Path(self.run_conf["data"]["dataset_path"]) / "dataset_config.yaml"
         with open(path) as f:
             self.dataset_config = yaml.safe_load(f)
+
+    def num_tissue_classes(self) -> int:
+        return len(self.dataset_config["tissue_types"])
 
     # ------------------------------------------------------------ pieces
 
@@ -163,7 +168,7 @@ class ExperimentCellVitPanNuke(BaseExperiment):
         dtype = jnp.bfloat16 if tcfg.get("mixed_precision", False) else jnp.float32
         common = dict(
             num_nuclei_classes=data["num_nuclei_classes"],
-            num_tissue_classes=len(self.dataset_config["tissue_types"]),
+            num_tissue_classes=self.num_tissue_classes(),
             regression_loss=mcfg.get("regression_loss", False),
             drop_rate=tcfg.get("drop_rate", 0.0),
             dtype=dtype,
@@ -285,9 +290,15 @@ class ExperimentCellVitPanNuke(BaseExperiment):
             cfg.get("transformations", {}), input_shape=input_shape, seed=seed
         )
         train_ds, val_ds = self.get_datasets(train_tf, val_tf)
+        strategy = tcfg.get("sampling_strategy", "random") or "random"
+        if strategy.lower() not in self.allowed_sampling_strategies:
+            raise NotImplementedError(
+                f"sampling strategy {strategy!r} not supported for "
+                f"{self.dataset_name}; allowed: {self.allowed_sampling_strategies}"
+            )
         sampler = get_sampler(
             train_ds,
-            strategy=tcfg.get("sampling_strategy", "random") or "random",
+            strategy=strategy,
             gamma=tcfg.get("sampling_gamma", 1) or 1,
             seed=seed,
         )
@@ -375,8 +386,7 @@ class ExperimentCellVitPanNuke(BaseExperiment):
             # the reference rebuilds models from the embedded config —
             # make sure the class counts are present
             flat_cfg.setdefault(
-                "data.num_tissue_classes",
-                len(self.dataset_config["tissue_types"]),
+                "data.num_tissue_classes", self.num_tissue_classes()
             )
             try:
                 ckpt.export_reference_checkpoint(
@@ -397,7 +407,27 @@ class ExperimentCellVitPanNuke(BaseExperiment):
 
 
 class ExperimentCellViTCoNic(ExperimentCellVitPanNuke):
+    """CoNIC experiment (reference experiment_cellvit_conic.py).
+
+    The delta vs PanNuke is tissue handling: CoNIC has no tissue labels, so
+    the tissue CE loss branch is absent (conic.py:282 — branches are NB/HV/NT
+    only), models are built with ``num_tissue_classes=1``
+    (experiment_cellvit_conic.py:552,580,603), and only the "random"/"cell"
+    sampling strategies exist (:771-798).
+    """
+
     dataset_name = "conic"
+    allowed_sampling_strategies = ("random", "cell")
+
+    def num_tissue_classes(self) -> int:
+        return 1
+
+    def get_loss_fn(self, loss_fn_settings: Dict) -> Dict:
+        settings = dict(loss_fn_settings or {})
+        settings.pop("tissue_types", None)
+        loss_fn_dict = super().get_loss_fn(settings)
+        loss_fn_dict.pop("tissue_types", None)
+        return loss_fn_dict
 
 
 class _Subset:

@@ -1,4 +1,4 @@
-"""Local hyperparameter sweeps (grid / random).
+"""Local hyperparameter sweeps (grid / random) with multi-agent support.
 
 The reference delegates sweeps to wandb (`base_experiment.py:296-352` +
 run_cellvit.py --sweep/--agent). wandb is optional here, so this module
@@ -7,12 +7,20 @@ block (method/name/metric/run_cap, validated by `train.validator`) and a
 `parameters` block of dotted config paths with `values` lists (grid/random)
 or `min`/`max` ranges (random). Results land in <log_dir>/sweep_results.json
 with the best run by the sweep metric.
+
+Agent mode (reference run_cellvit.py:46-82 wandb.agent): `--sweep` creates a
+sweep directory `<log_dir>/sweeps/<sweep_id>/` holding the frozen base config
+plus the enumerated assignments, then runs as the first agent. `--agent
+<sweep_dir-or-id>` joins that sweep from any process/host sharing the
+filesystem: agents claim runs via atomic `O_EXCL` claim files, so each
+assignment executes exactly once across all agents.
 """
 
 from __future__ import annotations
 
 import itertools
 import json
+import os
 import random as pyrandom
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -70,22 +78,76 @@ def enumerate_configs(sweep_cfg: Dict, parameters: Dict, seed: int = 0) -> List[
     return combos
 
 
-def run_sweep(
-    base_config: Dict,
-    experiment_class,
-    seed: int = 0,
-) -> Tuple[Dict, List[Dict]]:
-    """Run all sweep configurations; returns (best record, all records)."""
-    sweep_cfg = validate_sweep_config(base_config.get("sweep", {}))
-    metric_cfg = sweep_cfg.get("metric", {"name": "bPQ", "goal": "maximize"})
-    metric_name = metric_cfg.get("name", "bPQ")
-    maximize = metric_cfg.get("goal", "maximize") == "maximize"
+def create_sweep(base_config: Dict, seed: int = 0) -> Path:
+    """Materialize a sweep directory: frozen base config + assignments.
 
+    Layout: ``<log_dir>/sweeps/<sweep_name>/sweep.json`` plus a ``runs/``
+    subdirectory agents claim work from. Returns the sweep directory.
+    """
+    sweep_cfg = validate_sweep_config(base_config.get("sweep", {}))
     assignments = enumerate_configs(
         sweep_cfg, base_config.get("parameters", {}), seed=seed
     )
-    records: List[Dict] = []
+    log_dir = Path(base_config.get("logging", {}).get("log_dir", "runs"))
+    name = sweep_cfg.get("name") or "sweep"
+    sweep_dir = log_dir / "sweeps" / name
+    if sweep_dir.exists() and (sweep_dir / "sweep.json").exists():
+        i = 1
+        while (log_dir / "sweeps" / f"{name}_{i}" / "sweep.json").exists():
+            i += 1
+        sweep_dir = log_dir / "sweeps" / f"{name}_{i}"
+    (sweep_dir / "runs").mkdir(parents=True, exist_ok=True)
+    (sweep_dir / "sweep.json").write_text(
+        json.dumps(
+            {
+                "sweep": sweep_cfg,
+                "base_config": base_config,
+                "assignments": assignments,
+            },
+            indent=2,
+        )
+    )
+    return sweep_dir
+
+
+def resolve_sweep_dir(agent_id: str, base_config: Optional[Dict] = None) -> Path:
+    """--agent value → sweep directory. Accepts a filesystem path or a bare
+    sweep id looked up under <log_dir>/sweeps/ (reference takes
+    entity/project/sweep_id; locally the last component is the id)."""
+    cand = Path(agent_id)
+    if (cand / "sweep.json").exists():
+        return cand
+    sweep_id = agent_id.rstrip("/").rsplit("/", 1)[-1]
+    if base_config:
+        log_dir = Path(base_config.get("logging", {}).get("log_dir", "runs"))
+        cand = log_dir / "sweeps" / sweep_id
+        if (cand / "sweep.json").exists():
+            return cand
+    raise FileNotFoundError(f"no sweep found for agent id {agent_id!r}")
+
+
+def run_agent(
+    sweep_dir: Path, experiment_class, agent_name: str = "agent"
+) -> Tuple[Dict, List[Dict]]:
+    """Join a sweep: claim and execute unclaimed runs until none remain,
+    then aggregate all finished results. Returns (best record, records)."""
+    sweep_dir = Path(sweep_dir)
+    spec = json.loads((sweep_dir / "sweep.json").read_text())
+    base_config = spec["base_config"]
+    assignments = spec["assignments"]
+    metric_cfg = spec["sweep"].get("metric", {"name": "bPQ", "goal": "maximize"})
+    metric_name = metric_cfg.get("name", "bPQ")
+    maximize = metric_cfg.get("goal", "maximize") == "maximize"
+    runs_dir = sweep_dir / "runs"
+
     for i, assignment in enumerate(assignments):
+        claim = runs_dir / f"run{i}.claim"
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # another agent owns this run
+        with os.fdopen(fd, "w") as f:
+            f.write(agent_name)
         cfg = unflatten_dict({**flatten_dict(base_config), **assignment})
         cfg.pop("sweep", None)
         cfg.pop("parameters", None)
@@ -102,16 +164,22 @@ def run_sweep(
                 rec = json.loads(line)
                 if f"Validation/{metric_name}" in rec:
                     metric_value = rec[f"Validation/{metric_name}"]
-        records.append(
-            {
-                "run": i,
-                "assignment": assignment,
-                "run_dir": str(run_dir),
-                metric_name: metric_value,
-            }
+        (runs_dir / f"run{i}.result.json").write_text(
+            json.dumps(
+                {
+                    "run": i,
+                    "assignment": assignment,
+                    "run_dir": str(run_dir),
+                    "agent": agent_name,
+                    metric_name: metric_value,
+                }
+            )
         )
 
-    scored = [r for r in records if r[metric_name] is not None]
+    records: List[Dict] = []
+    for f in sorted(runs_dir.glob("run*.result.json")):
+        records.append(json.loads(f.read_text()))
+    scored = [r for r in records if r.get(metric_name) is not None]
     best = (
         max(scored, key=lambda r: r[metric_name])
         if maximize
@@ -123,3 +191,13 @@ def run_sweep(
         json.dumps({"best": best, "runs": records}, indent=2)
     )
     return best, records
+
+
+def run_sweep(
+    base_config: Dict,
+    experiment_class,
+    seed: int = 0,
+) -> Tuple[Dict, List[Dict]]:
+    """Create a sweep and run as its first agent (reference --sweep mode)."""
+    sweep_dir = create_sweep(base_config, seed=seed)
+    return run_agent(sweep_dir, experiment_class, agent_name="agent0")

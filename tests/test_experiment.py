@@ -155,3 +155,39 @@ def test_local_sweep_runs(tmp_path):
     assert len(records) == 2
     assert (tmp_path / "runs" / "sweep_results.json").exists()
     assert best and "bPQ" in best
+
+
+def test_sweep_agent_joins_and_claims(tmp_path):
+    """--agent semantics: a second agent joins an existing sweep, claims only
+    unfinished runs (exactly-once via claim files), and aggregates results
+    (reference run_cellvit.py:46-82 wandb.agent)."""
+    from cellvit_tpu.train.experiment import ExperimentCellVitPanNuke
+    from cellvit_tpu.train.sweeper import create_sweep, resolve_sweep_dir, run_agent
+    from tests.synth import make_pannuke_dataset
+
+    root = make_pannuke_dataset(tmp_path / "data", folds=(0, 1), n_images=4)
+    config = make_config(root, tmp_path / "runs")
+    config["training"]["epochs"] = 1
+    config["sweep"] = {
+        "method": "grid",
+        "name": "lr-sweep",
+        "metric": {"name": "bPQ", "goal": "maximize"},
+    }
+    config["parameters"] = {
+        "training.optimizer_hyperparameter.lr": {"values": [1e-3, 1e-4]},
+    }
+    sweep_dir = create_sweep(config)
+    assert (sweep_dir / "sweep.json").exists()
+    # pre-claim run 0 as if another agent owned it
+    (sweep_dir / "runs" / "run0.claim").write_text("other-agent")
+
+    # bare sweep id resolves through the config's log_dir
+    assert resolve_sweep_dir("lr-sweep", config) == sweep_dir
+
+    best, records = run_agent(sweep_dir, ExperimentCellVitPanNuke, "agent-test")
+    done = sorted(p.name for p in (sweep_dir / "runs").glob("run*.result.json"))
+    assert done == ["run1.result.json"]  # run0 was claimed elsewhere
+    assert len(records) == 1 and records[0]["agent"] == "agent-test"
+    # a second pass claims nothing new
+    best2, records2 = run_agent(sweep_dir, ExperimentCellVitPanNuke, "agent-2")
+    assert len(records2) == 1
