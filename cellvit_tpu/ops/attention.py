@@ -44,30 +44,49 @@ def _flash_kernel(
     q = q_ref[0]  # (TQ, D)
     tq, d = q.shape
     n_kblocks = k_ref.shape[1] // block_k
+    # the kernel is VPU-bound on the softmax, not MXU-bound on the dots
+    # (measured 9.25 ms vs a 1.05 ms matmul roofline at 8×6×4097×64):
+    # mask only the blocks that actually contain padded keys, and run the
+    # exp in the storage dtype (bf16 inputs → bf16 exp: 2× vector
+    # throughput; ~4e-3 relative error, below the bf16 output
+    # quantization. fp32 inputs keep an fp32 exp). m/l stay fp32.
+    exp_dtype = q.dtype
+    n_full = n_real // block_k  # static: blocks with no padded keys
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        k_idx = i * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (tq, block_k), 1
-        )
-        logits = jnp.where(k_idx < n_real, logits, NEG_INF)
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        return acc, m_new, l_new
+    def make_body(mask: bool):
+        def body(i, carry):
+            acc, m_prev, l_prev = carry
+            k = k_ref[0, pl.ds(i * block_k, block_k), :]
+            v = v_ref[0, pl.ds(i * block_k, block_k), :]
+            logits = (
+                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            )
+            if mask:
+                k_idx = i * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (tq, block_k), 1
+                )
+                logits = jnp.where(k_idx < n_real, logits, NEG_INF)
+            m_cur = jnp.max(logits, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp((logits - m_new).astype(exp_dtype))
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(
+                p, axis=-1, keepdims=True, dtype=jnp.float32
+            )
+            acc = acc * alpha + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            return acc, m_new, l_new
+
+        return body
 
     acc0 = jnp.zeros((tq, d), jnp.float32)
     m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((tq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_kblocks, body, (acc0, m0, l0))
+    carry = jax.lax.fori_loop(0, n_full, make_body(False), (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(
+        n_full, n_kblocks, make_body(True), carry
+    )
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
