@@ -186,6 +186,7 @@ def detection_run(preprocessed_wsi):
     inf.logger = Logger(level="WARNING").create_logger()
     inf.batch_size = 4
     inf.max_instances = 512
+    inf.mesh = None
     inf.mean = np.array([0.5, 0.5, 0.5], np.float32)
     inf.std = np.array([0.5, 0.5, 0.5], np.float32)
     inf.num_nuclei_classes = 6
@@ -314,6 +315,7 @@ def test_parallel_detection_and_resume(preprocessed_wsi, detection_run):
     inf.logger = Logger(level="WARNING").create_logger()
     inf.batch_size = 4
     inf.max_instances = 512
+    inf.mesh = None
     inf.mean = np.array([0.5, 0.5, 0.5], np.float32)
     inf.std = np.array([0.5, 0.5, 0.5], np.float32)
     inf.num_nuclei_classes = 6
