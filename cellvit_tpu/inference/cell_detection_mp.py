@@ -236,8 +236,14 @@ class CellSegmentationInferenceParallel(CellSegmentationInference):
                 results.append(fut.result())
                 finalize_futures.pop(0)
 
+        from concurrent.futures import ThreadPoolExecutor
+
         ctx = multiprocessing.get_context("spawn")
-        with ProcessPoolExecutor(max_workers=n_workers, mp_context=ctx) as pool:
+        with ProcessPoolExecutor(
+            max_workers=n_workers, mp_context=ctx
+        ) as pool, ThreadPoolExecutor(
+            max_workers=max_outstanding, thread_name_prefix="wsi-handoff"
+        ) as handoff_pool:
             for wsi in wsis:
                 outdir = wsi.patched_slide_path / "cell_detection"
                 if subdir_name:
@@ -297,22 +303,32 @@ class CellSegmentationInferenceParallel(CellSegmentationInference):
                             submit_chunk()
                 submit_chunk()
 
-                # gather compact chunk results (cells only — token maps were
-                # reduced in the workers), then hand off dedup + writing
-                chunks = [f.result() for f in chunk_futures]
-                finalize_futures.append(
-                    pool.submit(
+                # hand the chunk gather + finalize to a waiter thread so the
+                # device loop starts the next WSI immediately instead of
+                # blocking on this WSI's tail contour tracing (the gather is
+                # compact: token maps were reduced in the workers)
+                def gather_and_finalize(
+                    chunk_futures=chunk_futures,
+                    wsi_metadata=wsi.metadata,
+                    outdir=outdir,
+                ):
+                    chunks = [f.result() for f in chunk_futures]
+                    return pool.submit(
                         finalize_wsi_worker,
                         {
                             "chunks": chunks,
-                            "wsi_metadata": wsi.metadata,
+                            "wsi_metadata": wsi_metadata,
                             "outdir": str(outdir),
                             "geojson": geojson,
                         },
-                    )
+                    ).result()
+
+                finalize_futures.append(
+                    handoff_pool.submit(gather_and_finalize)
                 )
                 self.logger.info(
-                    f"{wsi.name}: {n_patches} patches in {len(chunks)} chunks "
+                    f"{wsi.name}: {n_patches} patches in "
+                    f"{len(chunk_futures)} chunks "
                     "queued for postprocessing"
                 )
                 drain(block=False)

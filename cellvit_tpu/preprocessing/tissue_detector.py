@@ -67,10 +67,30 @@ class TissueDetectionDataset:
 
 
 def load_tissue_detector(model_path: Union[str, Path]):
-    """(model, variables) from a native msgpack checkpoint."""
+    """(model, variables, preprocess) for a tissue-filter checkpoint.
+
+    Dispatches on format: `.pt`/`.pth` loads the reference's shipped
+    torchvision MobileNetV3-Small checkpoint (`patch_extraction.py:260-305`)
+    via `preprocessing.mobilenet_v3` — its patches must go through the
+    reference transforms (Resize 224 + ImageNet normalize), returned as
+    `preprocess`. Anything else is a native msgpack TissueClassifier
+    (identity preprocessing: raw [0, 1] patches).
+    """
+    path = Path(model_path)
+    if path.suffix in (".pt", ".pth"):
+        from cellvit_tpu.preprocessing.mobilenet_v3 import (
+            load_torch_tissue_detector,
+            preprocess_patch,
+        )
+
+        model, variables = load_torch_tissue_detector(path)
+        return model, variables, preprocess_patch
     model = TissueClassifier()
-    payload = serialization.msgpack_restore(Path(model_path).read_bytes())
-    return model, {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+    payload = serialization.msgpack_restore(path.read_bytes())
+    variables = {
+        "params": payload["params"], "batch_stats": payload["batch_stats"]
+    }
+    return model, variables, lambda img: img
 
 
 def filter_patches(
@@ -86,7 +106,7 @@ def filter_patches(
     `filtered_patches.json`. Returns {kept, dropped}.
     """
     root = Path(patched_wsi_path)
-    model, variables = load_tissue_detector(model_path)
+    model, variables, preprocess = load_tissue_detector(model_path)
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
     ds = TissueDetectionDataset(root)
@@ -94,7 +114,7 @@ def filter_patches(
     drop: List[str] = []
     for start in range(0, len(ds), batch_size):
         batch = [ds[i] for i in range(start, min(start + batch_size, len(ds)))]
-        imgs = jnp.asarray(np.stack([b[0] for b in batch]))
+        imgs = jnp.asarray(np.stack([preprocess(b[0]) for b in batch]))
         preds = np.asarray(jnp.argmax(fwd(variables, imgs), -1))
         for (_, name), cls in zip(batch, preds):
             (keep if int(cls) in keep_classes else drop).append(name)

@@ -113,16 +113,35 @@ def create_sweep(base_config: Dict, seed: int = 0) -> Path:
 def resolve_sweep_dir(agent_id: str, base_config: Optional[Dict] = None) -> Path:
     """--agent value → sweep directory. Accepts a filesystem path or a bare
     sweep id looked up under <log_dir>/sweeps/ (reference takes
-    entity/project/sweep_id; locally the last component is the id)."""
+    entity/project/sweep_id; locally the last component is the id).
+
+    Name collisions get numeric suffixes at creation (`name`, `name_1`, …);
+    a bare id resolves to the NEWEST such sweep, so an agent launched after
+    a re-created sweep joins the live one, not the exhausted old one.
+    """
     cand = Path(agent_id)
     if (cand / "sweep.json").exists():
         return cand
     sweep_id = agent_id.rstrip("/").rsplit("/", 1)[-1]
     if base_config:
         log_dir = Path(base_config.get("logging", {}).get("log_dir", "runs"))
-        cand = log_dir / "sweeps" / sweep_id
-        if (cand / "sweep.json").exists():
-            return cand
+        best: Optional[Tuple[int, Path]] = None
+        for d in (log_dir / "sweeps").glob(f"{sweep_id}*"):
+            if not (d / "sweep.json").exists():
+                continue
+            if d.name == sweep_id:
+                n = 0
+            elif d.name.startswith(sweep_id + "_"):
+                suffix = d.name[len(sweep_id) + 1 :]
+                if not suffix.isdigit():
+                    continue
+                n = int(suffix)
+            else:
+                continue
+            if best is None or n > best[0]:
+                best = (n, d)
+        if best is not None:
+            return best[1]
     raise FileNotFoundError(f"no sweep found for agent id {agent_id!r}")
 
 
@@ -154,27 +173,29 @@ def run_agent(
         cfg.setdefault("logging", {})["log_comment"] = (
             f"{cfg['logging'].get('log_comment', 'sweep')}_run{i}"
         )
-        experiment = experiment_class(cfg)
-        run_dir, _, trainer, state = experiment.run_experiment()
-        # last validation metrics from the metrics log
-        metric_value = None
-        metrics_file = Path(run_dir) / "metrics.jsonl"
-        if metrics_file.exists():
-            for line in metrics_file.read_text().strip().splitlines():
-                rec = json.loads(line)
-                if f"Validation/{metric_name}" in rec:
-                    metric_value = rec[f"Validation/{metric_name}"]
-        (runs_dir / f"run{i}.result.json").write_text(
-            json.dumps(
-                {
-                    "run": i,
-                    "assignment": assignment,
-                    "run_dir": str(run_dir),
-                    "agent": agent_name,
-                    metric_name: metric_value,
-                }
-            )
-        )
+        # a crashed run must still produce a result file: otherwise the
+        # claim blocks every agent forever and the sweep silently shrinks
+        # (wandb.agent likewise records crashed runs and moves on)
+        record = {
+            "run": i,
+            "assignment": assignment,
+            "agent": agent_name,
+            metric_name: None,
+        }
+        try:
+            experiment = experiment_class(cfg)
+            run_dir, _, trainer, state = experiment.run_experiment()
+            record["run_dir"] = str(run_dir)
+            # last validation metrics from the metrics log
+            metrics_file = Path(run_dir) / "metrics.jsonl"
+            if metrics_file.exists():
+                for line in metrics_file.read_text().strip().splitlines():
+                    rec = json.loads(line)
+                    if f"Validation/{metric_name}" in rec:
+                        record[metric_name] = rec[f"Validation/{metric_name}"]
+        except Exception as e:  # noqa: BLE001 — survive and record any run failure
+            record["error"] = f"{type(e).__name__}: {e}"
+        (runs_dir / f"run{i}.result.json").write_text(json.dumps(record))
 
     records: List[Dict] = []
     for f in sorted(runs_dir.glob("run*.result.json")):
@@ -187,9 +208,11 @@ def run_agent(
     ) if scored else {}
     out_dir = Path(base_config.get("logging", {}).get("log_dir", "runs"))
     out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "sweep_results.json").write_text(
-        json.dumps({"best": best, "runs": records}, indent=2)
-    )
+    # atomic snapshot of the result files present at write time; with
+    # concurrent agents the last finisher writes the complete aggregate
+    tmp = out_dir / f".sweep_results.{agent_name}.tmp"
+    tmp.write_text(json.dumps({"best": best, "runs": records}, indent=2))
+    os.replace(tmp, out_dir / "sweep_results.json")
     return best, records
 
 
@@ -200,4 +223,7 @@ def run_sweep(
 ) -> Tuple[Dict, List[Dict]]:
     """Create a sweep and run as its first agent (reference --sweep mode)."""
     sweep_dir = create_sweep(base_config, seed=seed)
+    # surface the (possibly collision-renamed) directory so extra agents
+    # know what to join
+    print(f"sweep directory: {sweep_dir} (join with --agent {sweep_dir.name})")
     return run_agent(sweep_dir, experiment_class, agent_name="agent0")

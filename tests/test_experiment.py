@@ -191,3 +191,54 @@ def test_sweep_agent_joins_and_claims(tmp_path):
     # a second pass claims nothing new
     best2, records2 = run_agent(sweep_dir, ExperimentCellVitPanNuke, "agent-2")
     assert len(records2) == 1
+
+
+def test_sweep_agent_records_crashed_runs(tmp_path):
+    """A run that raises must still produce a result file (with the error)
+    so the sweep never silently shrinks and other agents don't retry it."""
+    from cellvit_tpu.train.sweeper import create_sweep, run_agent
+
+    config = {
+        "logging": {"log_dir": str(tmp_path / "runs"), "log_comment": "x"},
+        "sweep": {"method": "grid", "name": "crashy",
+                  "metric": {"name": "bPQ", "goal": "maximize"}},
+        "parameters": {"training.lr": {"values": [1, 2]}},
+    }
+    sweep_dir = create_sweep(config)
+
+    class Boom:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+        def run_experiment(self):
+            if self.cfg["training"]["lr"] == 1:
+                raise RuntimeError("synthetic crash")
+            d = tmp_path / "ok_run"
+            d.mkdir(exist_ok=True)
+            (d / "metrics.jsonl").write_text('{"Validation/bPQ": 0.5}\n')
+            return d, None, None, None
+
+    best, records = run_agent(sweep_dir, Boom, "agent-t")
+    assert len(records) == 2
+    crashed = [r for r in records if "error" in r]
+    assert len(crashed) == 1 and "synthetic crash" in crashed[0]["error"]
+    assert best["bPQ"] == 0.5
+    # both runs have result files: nothing is silently missing
+    files = sorted(p.name for p in (sweep_dir / "runs").glob("*.result.json"))
+    assert files == ["run0.result.json", "run1.result.json"]
+
+
+def test_resolve_sweep_dir_prefers_newest(tmp_path):
+    from cellvit_tpu.train.sweeper import create_sweep, resolve_sweep_dir
+
+    config = {
+        "logging": {"log_dir": str(tmp_path / "runs")},
+        "sweep": {"method": "grid", "name": "dup",
+                  "metric": {"name": "bPQ", "goal": "maximize"}},
+        "parameters": {"a.b": {"values": [1]}},
+    }
+    d0 = create_sweep(config)
+    d1 = create_sweep(config)  # collision → dup_1
+    assert d0.name == "dup" and d1.name == "dup_1"
+    assert resolve_sweep_dir("dup", config) == d1
+    assert resolve_sweep_dir(str(d0), config) == d0  # explicit path wins

@@ -125,3 +125,58 @@ def test_load_torch_tissue_detector_checkpoint(tmp_path, rng):
     with torch.no_grad():
         ref = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_filter_patches_with_torch_checkpoint(tmp_path, rng):
+    """filter_patches drives the reference .pt checkpoint end-to-end:
+    format dispatch, Resize(224)+ImageNet preprocessing, argmax filter."""
+    import json
+
+    from PIL import Image
+
+    from cellvit_tpu.preprocessing.tissue_detector import filter_patches
+
+    torch.manual_seed(2)
+    oracle = _TorchMNV3Small(num_classes=4).eval()
+    path = tmp_path / "tissue_detector.pt"
+    torch.save({"model_state_dict": oracle.state_dict()}, path)
+
+    wsi_dir = tmp_path / "wsi"
+    (wsi_dir / "patches").mkdir(parents=True)
+    entries = []
+    arrs = []
+    for i in range(4):
+        arr = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+        arrs.append(arr)
+        name = f"p_{i}.png"
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            wsi_dir / "patches" / name
+        )
+        entries.append({name: {"row": 0, "col": i}})
+    (wsi_dir / "patch_metadata.json").write_text(json.dumps(entries))
+
+    # expected keep-set from the torch oracle with reference transforms
+    from cellvit_tpu.preprocessing.mobilenet_v3 import preprocess_patch
+
+    # round-trip through the stored png exactly as filter_patches reads it
+    stored = [
+        np.array(Image.open(wsi_dir / "patches" / f"p_{i}.png"), np.float32)
+        / 255.0
+        for i in range(4)
+    ]
+    batch = np.stack([preprocess_patch(a) for a in stored])
+    with torch.no_grad():
+        cls = (
+            oracle(torch.from_numpy(batch.transpose(0, 3, 1, 2)))
+            .argmax(-1)
+            .numpy()
+        )
+    expected_keep = {f"p_{i}.png" for i in range(4) if cls[i] == 3}
+
+    stats = filter_patches(wsi_dir, path, batch_size=2)
+    kept = {
+        next(iter(e))
+        for e in json.loads((wsi_dir / "patch_metadata.json").read_text())
+    }
+    assert kept == expected_keep
+    assert stats["kept"] == len(expected_keep)
