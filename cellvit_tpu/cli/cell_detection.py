@@ -60,7 +60,7 @@ def main() -> None:
 
     args = build_parser().parse_args()
     model_arg = Path(args.model)
-    kwargs = dict(batch_size=args.batch_size)
+    kwargs = dict(batch_size=args.batch_size, mixed_precision=args.enforce_amp)
     if model_arg.is_dir():
         inference = CellSegmentationInference(run_dir=model_arg, **kwargs)
     else:

@@ -159,8 +159,13 @@ class PanNukeDataset(CellDataset):
 
         inst_map = mask[..., 0].copy()
         type_map = mask[..., 1].copy()
+        # [0,255]-scale detection by dtype, not value: a uint8 image (no
+        # transforms, or transforms without normalize) always needs /255 —
+        # a near-black patch with max<5 must not slip through at 255 scale.
+        # Float outputs of normalize stay below 5 for any std >= 0.2.
+        was_uint8 = np.asarray(img).dtype == np.uint8
         img = np.asarray(img, np.float32)
-        if img.max() >= 5:
+        if was_uint8 or img.max() >= 5:
             img = img / 255.0
         masks = _build_masks(inst_map, type_map, self.stardist, self.regression)
         tissue_type = self.types[self.img_names[index]]
@@ -261,8 +266,13 @@ class CoNicDataset(CellDataset):
         mask = self.labels[index].astype(np.int32)
         if self.transforms is not None:
             img, mask = self.transforms(img, mask)
+        # [0,255]-scale detection by dtype, not value: a uint8 image (no
+        # transforms, or transforms without normalize) always needs /255 —
+        # a near-black patch with max<5 must not slip through at 255 scale.
+        # Float outputs of normalize stay below 5 for any std >= 0.2.
+        was_uint8 = np.asarray(img).dtype == np.uint8
         img = np.asarray(img, np.float32)
-        if img.max() >= 5:
+        if was_uint8 or img.max() >= 5:
             img = img / 255.0
         masks = _build_masks(
             mask[..., 0].copy(), mask[..., 1].copy(), self.stardist, self.regression
@@ -330,8 +340,13 @@ class MoNuSegDataset(CellDataset):
             mask = np.stack([inst_map, type_map], axis=-1)
         if self.transforms is not None:
             img, mask = self.transforms(img, mask)
+        # [0,255]-scale detection by dtype, not value: a uint8 image (no
+        # transforms, or transforms without normalize) always needs /255 —
+        # a near-black patch with max<5 must not slip through at 255 scale.
+        # Float outputs of normalize stay below 5 for any std >= 0.2.
+        was_uint8 = np.asarray(img).dtype == np.uint8
         img = np.asarray(img, np.float32)
-        if img.max() >= 5:
+        if was_uint8 or img.max() >= 5:
             img = img / 255.0
         name = self.images[index].name
         if self.patching:

@@ -134,7 +134,12 @@ def prepare_monuseg(
     input_path: Union[str, Path], output_path: Union[str, Path]
 ) -> None:
     """MoNuSeg download (Tissue Images/*.tif + Annotations/*.xml) →
-    images/*.png + labels/*.npy instance maps."""
+    images/*.png + labels/*.npy instance maps.
+
+    Images and masks are resized 1000→1024 exactly like the reference
+    (`prepare_monuseg.py:20-87`: LANCZOS for images, NEAREST for instance
+    maps) so the 256/64 patch grid tiles evenly and results stay
+    comparable; inputs already at 1024 pass through unchanged."""
     import cv2
     from PIL import Image
 
@@ -152,14 +157,26 @@ def prepare_monuseg(
     (output_path / "images").mkdir(parents=True, exist_ok=True)
     (output_path / "labels").mkdir(parents=True, exist_ok=True)
     for img_path in sorted(img_dir.glob("*.tif")) + sorted(img_dir.glob("*.png")):
-        img = np.array(Image.open(img_path).convert("RGB"))
+        pil = Image.open(img_path).convert("RGB")
+        if pil.size != (1024, 1024):
+            pil = pil.resize((1024, 1024), resample=Image.Resampling.LANCZOS)
+        img = np.array(pil)
         Image.fromarray(img).save(output_path / "images" / f"{img_path.stem}.png")
         xml = ann_dir / f"{img_path.stem}.xml"
-        inst = np.zeros(img.shape[:2], np.int32)
+        with Image.open(img_path) as orig:
+            orig_size = orig.size  # (W, H) — polygons are in this frame
+        inst = np.zeros((orig_size[1], orig_size[0]), np.int32)
         if xml.exists():
             polygons, _ = load_annotations(xml)
             for i, poly in enumerate(polygons, start=1):
                 cv2.fillPoly(inst, [np.round(poly).astype(np.int32)], i)
+        if inst.shape != (1024, 1024):
+            inst = np.array(
+                Image.fromarray(inst, mode="I").resize(
+                    (1024, 1024), resample=Image.Resampling.NEAREST
+                ),
+                np.int32,
+            )
         np.save(
             output_path / "labels" / f"{img_path.stem}.npy",
             np.array(

@@ -23,16 +23,40 @@ Sample = Tuple[np.ndarray, np.ndarray]
 
 
 class Compose:
+    """Transform pipeline with per-thread generators.
+
+    The DataLoader calls `__call__` from multiple worker threads; numpy
+    Generators are not thread-safe (concurrent draws can corrupt the
+    bit-generator state), so each thread gets its own Generator spawned
+    deterministically from the seed's SeedSequence. Exact cross-run
+    reproducibility of augmentation draws additionally requires a
+    single-threaded loader (thread→sample assignment is scheduling-
+    dependent either way)."""
+
     def __init__(self, transforms: List, seed: Optional[int] = None) -> None:
         self.transforms = transforms
-        self.rng = np.random.default_rng(seed)
+        self.reseed(seed)
 
-    def reseed(self, seed: int) -> None:
-        self.rng = np.random.default_rng(seed)
+    def reseed(self, seed: Optional[int]) -> None:
+        import threading
+
+        self._seed_seq = np.random.SeedSequence(seed)
+        self._local = threading.local()
+        self._lock = threading.Lock()
+
+    @property
+    def rng(self) -> np.random.Generator:
+        rng = getattr(self._local, "rng", None)
+        if rng is None:
+            with self._lock:
+                rng = np.random.default_rng(self._seed_seq.spawn(1)[0])
+            self._local.rng = rng
+        return rng
 
     def __call__(self, img: np.ndarray, mask: np.ndarray) -> Sample:
+        rng = self.rng
         for t in self.transforms:
-            img, mask = t(img, mask, self.rng)
+            img, mask = t(img, mask, rng)
         return img, mask
 
 

@@ -65,6 +65,81 @@ def assemble_patch_instances(
     return info
 
 
+def assemble_patch_cells(
+    instances: Dict[int, Dict],
+    tokens: np.ndarray,
+    row: int,
+    col: int,
+    patch_size: int,
+    overlap: int,
+    scaling: float,
+    token_patch: int,
+) -> Tuple[List[Dict], List[Dict], List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
+    """Per-patch host assembly: instances → global-coordinate cell dicts.
+
+    Shared by the synchronous driver (`process_wsi`) and the chunked
+    multiprocessing worker (`cell_detection_mp.postprocess_chunk_worker`)
+    so the global-offset formula (reference cell_detection.py:343-350),
+    margin codes and token-crop means cannot diverge between the paths.
+
+    Returns (cells, detections, graph_tokens, graph_positions,
+    graph_contours) for one patch; `tokens` is that patch's (Ht, Wt, E)
+    token map.
+    """
+    cells: List[Dict] = []
+    detections: List[Dict] = []
+    g_tokens: List[np.ndarray] = []
+    g_positions: List[np.ndarray] = []
+    g_contours: List[np.ndarray] = []
+    x_global = int(row * patch_size * scaling - (row + 0.5) * overlap)
+    y_global = int(col * patch_size * scaling - (col + 0.5) * overlap)
+    offset_global = np.array([x_global, y_global])
+    for cell in instances.values():
+        if cell["type"] == 0:
+            continue
+        centroid_global = cell["centroid"] + np.flip(offset_global)
+        contour_global = cell["contour"] + np.flip(offset_global)
+        bbox_global = cell["bbox"] + offset_global
+        cell_dict = {
+            "bbox": bbox_global.tolist(),
+            "centroid": centroid_global.tolist(),
+            "contour": contour_global.tolist(),
+            "type_prob": cell["type_prob"],
+            "type": cell["type"],
+            "patch_coordinates": [row, col],
+            "cell_status": dd.get_cell_position_margin(
+                cell["bbox"], patch_size, overlap
+            ),
+            "offset_global": offset_global.tolist(),
+        }
+        if np.max(cell["bbox"]) == patch_size or np.min(cell["bbox"]) == 0:
+            position = dd.get_cell_position(cell["bbox"], patch_size)
+            cell_dict["edge_position"] = True
+            cell_dict["edge_information"] = {
+                "position": position,
+                "edge_patches": dd.get_edge_patch(position, row, col),
+            }
+        else:
+            cell_dict["edge_position"] = False
+        cells.append(cell_dict)
+        detections.append(
+            {
+                "bbox": bbox_global.tolist(),
+                "centroid": centroid_global.tolist(),
+                "type": cell["type"],
+            }
+        )
+        # ViT-token crop mean over the cell bbox (reference :397-413)
+        bb = cell["bbox"].astype(np.float64) / token_patch
+        r0, c0 = np.floor(bb[0]).astype(int)
+        r1, c1 = np.ceil(bb[1]).astype(int)
+        crop = tokens[r0 : max(r1, r0 + 1), c0 : max(c1, c0 + 1)]
+        g_tokens.append(crop.reshape(-1, crop.shape[-1]).mean(0))
+        g_positions.append(centroid_global)
+        g_contours.append(contour_global)
+    return cells, detections, g_tokens, g_positions, g_contours
+
+
 @dataclass
 class CellGraphDataWSI:
     """Cell-token graph (reference datamodel/cell_graph_datamodel.py:18-26)."""
@@ -117,6 +192,11 @@ class CellSegmentationInference:
             self.run_conf = helper.run_conf
         else:
             raise ValueError("provide model_path or run_dir")
+
+        if mixed_precision and getattr(self.model, "dtype", None) != jnp.bfloat16:
+            # AMP equivalent (reference __setup_amp, cell_detection.py:97-115):
+            # compute in bf16, parameters stay fp32 (flax casts at apply)
+            self.model = self.model.clone(dtype=jnp.bfloat16)
 
         norm = (self.run_conf.get("transformations") or {}).get("normalize", {})
         self.mean = np.asarray(norm.get("mean", (0.5, 0.5, 0.5)), np.float32)
@@ -245,7 +325,6 @@ class CellSegmentationInference:
             collate_fn=PatchedWSIInference.collate_batch,
         )
         nuclei_types = {"Background": 0}
-        type_names = {}
         from cellvit_tpu.inference.geojson_export import TYPE_NUCLEI_DICT
 
         type_names = TYPE_NUCLEI_DICT
@@ -268,55 +347,15 @@ class CellSegmentationInference:
             ):
                 row, col = patch_meta["row"], patch_meta["col"]
                 processed_patches.append(f"{row}_{col}")
-                x_global = int(row * patch_size * scaling - (row + 0.5) * overlap)
-                y_global = int(col * patch_size * scaling - (col + 0.5) * overlap)
-                offset_global = np.array([x_global, y_global])
-                for cell in instances.values():
-                    if cell["type"] == 0:
-                        continue
-                    centroid_global = cell["centroid"] + np.flip(offset_global)
-                    contour_global = cell["contour"] + np.flip(offset_global)
-                    bbox_global = cell["bbox"] + offset_global
-                    cell_dict = {
-                        "bbox": bbox_global.tolist(),
-                        "centroid": centroid_global.tolist(),
-                        "contour": contour_global.tolist(),
-                        "type_prob": cell["type_prob"],
-                        "type": cell["type"],
-                        "patch_coordinates": [row, col],
-                        "cell_status": dd.get_cell_position_margin(
-                            cell["bbox"], patch_size, overlap
-                        ),
-                        "offset_global": offset_global.tolist(),
-                    }
-                    if (
-                        np.max(cell["bbox"]) == patch_size
-                        or np.min(cell["bbox"]) == 0
-                    ):
-                        position = dd.get_cell_position(cell["bbox"], patch_size)
-                        cell_dict["edge_position"] = True
-                        cell_dict["edge_information"] = {
-                            "position": position,
-                            "edge_patches": dd.get_edge_patch(position, row, col),
-                        }
-                    else:
-                        cell_dict["edge_position"] = False
-                    cell_dict_wsi.append(cell_dict)
-                    cell_dict_detection.append(
-                        {
-                            "bbox": bbox_global.tolist(),
-                            "centroid": centroid_global.tolist(),
-                            "type": cell["type"],
-                        }
-                    )
-                    # ViT-token crop mean over the cell bbox (:397-413)
-                    bb = cell["bbox"].astype(np.float64) / token_patch
-                    r0, c0 = np.floor(bb[0]).astype(int)
-                    r1, c1 = np.ceil(bb[1]).astype(int)
-                    crop = tokens[idx, r0 : max(r1, r0 + 1), c0 : max(c1, c0 + 1)]
-                    graph_tokens.append(crop.reshape(-1, crop.shape[-1]).mean(0))
-                    graph_positions.append(centroid_global)
-                    graph_contours.append(contour_global)
+                cells, dets, g_tok, g_pos, g_con = assemble_patch_cells(
+                    instances, tokens[idx], row, col,
+                    patch_size, overlap, scaling, token_patch,
+                )
+                cell_dict_wsi.extend(cells)
+                cell_dict_detection.extend(dets)
+                graph_tokens.extend(g_tok)
+                graph_positions.extend(g_pos)
+                graph_contours.extend(g_con)
 
         self.logger.info(f"detected cells before cleaning: {len(cell_dict_wsi)}")
         keep_idx = dd.CellPostProcessor(cell_dict_wsi, self.logger).post_process_cells()

@@ -38,6 +38,7 @@ import numpy as np
 from cellvit_tpu.data.wsi import WSI, PatchedWSIInference
 from cellvit_tpu.inference.cell_detection import (
     CellSegmentationInference,
+    assemble_patch_cells,
     assemble_patch_instances,
 )
 from cellvit_tpu.inference import dedup as dd
@@ -71,51 +72,15 @@ def postprocess_chunk_worker(payload: Dict) -> Dict:
         instances = assemble_patch_instances(inst_map, stats)
         row, col = meta["row"], meta["col"]
         processed_patches.append(f"{row}_{col}")
-        x_global = int(row * patch_size * scaling - (row + 0.5) * overlap)
-        y_global = int(col * patch_size * scaling - (col + 0.5) * overlap)
-        offset_global = np.array([x_global, y_global])
-        for cell in instances.values():
-            if cell["type"] == 0:
-                continue
-            centroid_global = cell["centroid"] + np.flip(offset_global)
-            contour_global = cell["contour"] + np.flip(offset_global)
-            bbox_global = cell["bbox"] + offset_global
-            cell_dict = {
-                "bbox": bbox_global.tolist(),
-                "centroid": centroid_global.tolist(),
-                "contour": contour_global.tolist(),
-                "type_prob": cell["type_prob"],
-                "type": cell["type"],
-                "patch_coordinates": [row, col],
-                "cell_status": dd.get_cell_position_margin(
-                    cell["bbox"], patch_size, overlap
-                ),
-                "offset_global": offset_global.tolist(),
-            }
-            if np.max(cell["bbox"]) == patch_size or np.min(cell["bbox"]) == 0:
-                position = dd.get_cell_position(cell["bbox"], patch_size)
-                cell_dict["edge_position"] = True
-                cell_dict["edge_information"] = {
-                    "position": position,
-                    "edge_patches": dd.get_edge_patch(position, row, col),
-                }
-            else:
-                cell_dict["edge_position"] = False
-            cells.append(cell_dict)
-            detections.append(
-                {
-                    "bbox": bbox_global.tolist(),
-                    "centroid": centroid_global.tolist(),
-                    "type": cell["type"],
-                }
-            )
-            bb = cell["bbox"].astype(np.float64) / token_patch
-            r0, c0 = np.floor(bb[0]).astype(int)
-            r1, c1 = np.ceil(bb[1]).astype(int)
-            crop = tokens[r0 : max(r1, r0 + 1), c0 : max(c1, c0 + 1)]
-            graph_tokens.append(crop.reshape(-1, crop.shape[-1]).mean(0))
-            graph_positions.append(centroid_global)
-            graph_contours.append(contour_global)
+        patch_cells, dets, g_tok, g_pos, g_con = assemble_patch_cells(
+            instances, tokens, row, col,
+            patch_size, overlap, scaling, token_patch,
+        )
+        cells.extend(patch_cells)
+        detections.extend(dets)
+        graph_tokens.extend(g_tok)
+        graph_positions.extend(g_pos)
+        graph_contours.extend(g_con)
 
     return {
         "cells": cells,
@@ -222,6 +187,7 @@ class CellSegmentationInferenceParallel(CellSegmentationInference):
     ) -> List[Tuple[str, int]]:
         results: List[Tuple[str, int]] = []
         finalize_futures: List[Future] = []
+        all_chunk_futures: List[Future] = []  # cross-WSI backpressure
         self.last_max_chunk_records = 0
 
         def drain(block: bool) -> None:
@@ -271,24 +237,30 @@ class CellSegmentationInferenceParallel(CellSegmentationInference):
                     self.last_max_chunk_records = max(
                         self.last_max_chunk_records, len(records)
                     )
-                    # bound outstanding heavy payloads (token maps)
+                    # bound outstanding heavy payloads (token maps) ACROSS
+                    # WSIs — previous slides' tail chunks may still be in
+                    # flight, so counting only this WSI's futures would let
+                    # peak host memory grow to max_outstanding × the bound
+                    all_chunk_futures[:] = [
+                        f for f in all_chunk_futures if not f.done()
+                    ]
                     while (
-                        sum(not f.done() for f in chunk_futures)
+                        sum(not f.done() for f in all_chunk_futures)
                         >= max_outstanding
                     ):
                         time.sleep(0.05)
-                    chunk_futures.append(
-                        pool.submit(
-                            postprocess_chunk_worker,
-                            {
-                                "records": records,
-                                "patch_size": patch_size,
-                                "overlap": overlap,
-                                "scaling": wsi.metadata["downsampling"],
-                                "token_patch_size": self.model.patch_size,
-                            },
-                        )
+                    fut = pool.submit(
+                        postprocess_chunk_worker,
+                        {
+                            "records": records,
+                            "patch_size": patch_size,
+                            "overlap": overlap,
+                            "scaling": wsi.metadata["downsampling"],
+                            "token_patch_size": self.model.patch_size,
+                        },
                     )
+                    chunk_futures.append(fut)
+                    all_chunk_futures.append(fut)
                     records = []
 
                 for imgs, metadata in loader:

@@ -73,44 +73,59 @@ class InferenceCellViTMoNuSeg(InferenceCellViT):
                 pos.append(n - p)  # end-aligned patch so edges are covered
             return pos
 
+        # batch the tile grid through the device (one forward per
+        # batch_size tiles, not per tile — each dispatch pays tunnel RTT)
+        grid = [
+            (yi, y0, xi, x0)
+            for yi, y0 in enumerate(positions(h))
+            for xi, x0 in enumerate(positions(w))
+        ]
+        tile_out: List = [None] * len(grid)
+        bs = max(1, self.batch_size)
+        for start in range(0, len(grid), bs):
+            group = grid[start : start + bs]
+            tiles = np.stack(
+                [img[y0 : y0 + p, x0 : x0 + p] for _, y0, _, x0 in group]
+            )
+            out = self._forward(self.variables, jnp.asarray(tiles))
+            inst_b, nt_b, _ = self._postprocess_batch(
+                out, object_size=object_size, ksize=ksize
+            )
+            for j in range(len(group)):
+                tile_out[start + j] = (np.asarray(inst_b[j]), np.asarray(nt_b[j]))
+
         cells: List[Dict] = []
-        for yi, y0 in enumerate(positions(h)):
-            for xi, x0 in enumerate(positions(w)):
-                tile = img[y0 : y0 + p, x0 : x0 + p]
-                out = self._forward(self.variables, jnp.asarray(tile)[None])
-                inst, nt, _ = self._postprocess_batch(
-                    out, object_size=object_size, ksize=ksize
+        for (yi, y0, xi, x0), (inst0, nt0) in zip(grid, tile_out):
+            contours = contours_from_instance_map(inst0)
+            infos = _per_instance_types(inst0, nt0)
+            for inst_id, contour in contours.items():
+                if inst_id not in infos:
+                    continue
+                sel = inst0 == inst_id
+                ys, xs = np.nonzero(sel)
+                bbox = np.array(
+                    [[ys.min(), xs.min()], [ys.max() + 1, xs.max() + 1]]
                 )
-                contours = contours_from_instance_map(inst[0])
-                infos = _per_instance_types(inst[0], nt[0])
-                for inst_id, contour in contours.items():
-                    if inst_id not in infos:
-                        continue
-                    sel = inst[0] == inst_id
-                    ys, xs = np.nonzero(sel)
-                    bbox = np.array(
-                        [[ys.min(), xs.min()], [ys.max() + 1, xs.max() + 1]]
-                    )
-                    cells.append(
-                        {
-                            "contour": (contour + [[x0, y0]]).tolist(),
-                            "centroid": (
-                                infos[inst_id]["centroid"] + [x0, y0]
-                            ).tolist(),
-                            "type": infos[inst_id]["type"],
-                            "cell_status": dd.get_cell_position_margin(bbox, p, ov),
-                            "patch_coordinates": [yi, xi],
-                            "edge_position": bool(
-                                bbox.max() == p or bbox.min() == 0
+                cells.append(
+                    {
+                        "contour": (contour + [[x0, y0]]).tolist(),
+                        "centroid": (
+                            infos[inst_id]["centroid"] + [x0, y0]
+                        ).tolist(),
+                        "type": infos[inst_id]["type"],
+                        "cell_status": dd.get_cell_position_margin(bbox, p, ov),
+                        "patch_coordinates": [yi, xi],
+                        "edge_position": bool(
+                            bbox.max() == p or bbox.min() == 0
+                        ),
+                        "edge_information": {
+                            "position": dd.get_cell_position(bbox, p),
+                            "edge_patches": dd.get_edge_patch(
+                                dd.get_cell_position(bbox, p), yi, xi,
                             ),
-                            "edge_information": {
-                                "position": dd.get_cell_position(bbox, p),
-                                "edge_patches": dd.get_edge_patch(
-                                    dd.get_cell_position(bbox, p), yi, xi,
-                                ),
-                            },
-                        }
-                    )
+                        },
+                    }
+                )
         keep = dd.CellPostProcessor(cells).post_process_cells()
         merged = np.zeros((h, w), np.int32)
         infos: Dict[int, Dict] = {}

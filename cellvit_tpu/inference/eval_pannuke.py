@@ -29,7 +29,6 @@ from cellvit_tpu.data.loader import DataLoader, SequentialSampler
 from cellvit_tpu.data.transforms import build_transforms
 from cellvit_tpu.eval import metrics as M
 from cellvit_tpu.ops.hv_postproc import instance_map_batch
-from cellvit_tpu.ops.instance_stats import instance_stats_batch, relabel_consecutive
 from cellvit_tpu.utils.logger import Logger
 
 

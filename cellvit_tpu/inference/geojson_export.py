@@ -59,7 +59,14 @@ def convert_geojson(
     for cell_type in types:
         cells = [c for c in cell_list if c["type"] == cell_type]
         if polygons:
-            coords = [[[list(map(float, pt)) for pt in c["contour"]]] for c in cells]
+            # close every LinearRing (first == last) — RFC 7946 and the
+            # reference's convert_geojson (cell_detection.py) both do
+            coords = []
+            for c in cells:
+                ring = [list(map(float, pt)) for pt in c["contour"]]
+                if ring and ring[0] != ring[-1]:
+                    ring.append(ring[0])
+                coords.append([ring])
             obj = get_template_segmentation()
         else:
             coords = [list(map(float, c["centroid"])) for c in cells]

@@ -41,6 +41,7 @@ def test_monuseg_eval_patched(tmp_path, rng):
     inf.patching = True
     inf.overlap = 64
     inf.patch_size = 256
+    inf.batch_size = 8
     inf.num_classes = 6
     inf.run_conf = {"transformations": {"normalize": {}}}
     inf.logger = Logger(level="WARNING").create_logger()

@@ -71,5 +71,11 @@ def test_prepare_monuseg(tmp_path):
     ds = MoNuSegDataset(out)
     assert len(ds) == 1
     img_out, mask, name = ds[0]
+    # everything is resized to 1024 (reference prepare_monuseg.py:20-87),
+    # so the 64-px source scales 16×: the polygon interior moves with it
+    assert img_out.shape[:2] == (1024, 1024)
+    assert mask.shape[:2] == (1024, 1024)
     assert mask[..., 0].max() == 1
-    assert mask[15, 15, 0] == 1
+    scale = 1024 / 64
+    assert mask[int(15 * scale), int(15 * scale), 0] == 1
+    assert mask[int(5 * scale), int(5 * scale), 0] == 0
