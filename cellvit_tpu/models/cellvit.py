@@ -89,6 +89,76 @@ class UpsamplingBranch(nn.Module):
         return self.header(x)
 
 
+def setup_vit_encoder(model: nn.Module) -> None:
+    """Build `model.encoder` (+ `model.classifier_head` for SAM).
+
+    Shared by every CellViT-family `Module.setup()` (HV / StarDist / CPP /
+    shared-decoder): the attribute names are part of the checkpoint
+    contract, so constructing them in one place keeps the four families'
+    parameter trees aligned and encoder-wiring changes single-sourced.
+    """
+    dt = model.dtype
+    if model.encoder_type == "histo":
+        model.encoder = HistoViT(
+            embed_dim=model.embed_dim,
+            depth=model.depth,
+            num_heads=model.num_heads,
+            mlp_ratio=model.mlp_ratio,
+            qkv_bias=model.qkv_bias,
+            num_classes=model.num_tissue_classes,
+            patch_size=model.patch_size,
+            extract_layers=model.extract_layers,
+            dropout=model.drop_rate,
+            attn_dropout=model.attn_drop_rate,
+            drop_path_rate=model.drop_path_rate,
+            remat=model.remat,
+            dtype=dt,
+            name="encoder",
+        )
+    elif model.encoder_type == "sam":
+        model.encoder = SamViT(
+            embed_dim=model.embed_dim,
+            depth=model.depth,
+            num_heads=model.num_heads,
+            mlp_ratio=model.mlp_ratio,
+            qkv_bias=model.qkv_bias,
+            out_chans=model.prompt_embed_dim,
+            patch_size=model.patch_size,
+            window_size=model.window_size,
+            global_attn_indexes=model.global_attn_indexes,
+            extract_layers=model.extract_layers,
+            remat=model.remat,
+            dtype=dt,
+            name="encoder",
+        )
+        model.classifier_head = nn.Dense(
+            model.num_tissue_classes, dtype=dt, name="classifier_head"
+        )
+    else:
+        raise ValueError(f"unknown encoder_type {model.encoder_type}")
+
+
+def setup_skip_decoders(model: nn.Module) -> None:
+    """Build the four per-resolution skip decoders (`decoder0..3`) shared
+    by the separate-tower families (CellViT, CellViTStarDist/CPP)."""
+    s11, s12, bott = model.skip_dims
+    d, dt = model.drop_rate, model.dtype
+    model.decoder0 = [
+        ConvBNRelu(32, dropout=d, dtype=dt),
+        ConvBNRelu(64, dropout=d, dtype=dt),
+    ]
+    model.decoder1 = [
+        DeconvBlock(s11, dropout=d, dtype=dt),
+        DeconvBlock(s12, dropout=d, dtype=dt),
+        DeconvBlock(128, dropout=d, dtype=dt),
+    ]
+    model.decoder2 = [
+        DeconvBlock(s11, dropout=d, dtype=dt),
+        DeconvBlock(256, dropout=d, dtype=dt),
+    ]
+    model.decoder3 = [DeconvBlock(bott, dropout=d, dtype=dt)]
+
+
 class CellViT(nn.Module):
     """CellViT segmentation model (HoVer-Net heads).
 
@@ -131,62 +201,11 @@ class CellViT(nn.Module):
     def setup(self):
         assert len(self.extract_layers) == 4, "need 4 skip connections"
         dt = self.dtype
-        if self.encoder_type == "histo":
-            self.encoder = HistoViT(
-                embed_dim=self.embed_dim,
-                depth=self.depth,
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias,
-                num_classes=self.num_tissue_classes,
-                patch_size=self.patch_size,
-                extract_layers=self.extract_layers,
-                dropout=self.drop_rate,
-                attn_dropout=self.attn_drop_rate,
-                drop_path_rate=self.drop_path_rate,
-                remat=self.remat,
-                dtype=dt,
-                name="encoder",
-            )
-        elif self.encoder_type == "sam":
-            self.encoder = SamViT(
-                embed_dim=self.embed_dim,
-                depth=self.depth,
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias,
-                out_chans=self.prompt_embed_dim,
-                patch_size=self.patch_size,
-                window_size=self.window_size,
-                global_attn_indexes=self.global_attn_indexes,
-                extract_layers=self.extract_layers,
-                remat=self.remat,
-                dtype=dt,
-                name="encoder",
-            )
-            self.classifier_head = nn.Dense(
-                self.num_tissue_classes, dtype=dt, name="classifier_head"
-            )
-        else:
-            raise ValueError(f"unknown encoder_type {self.encoder_type}")
+        setup_vit_encoder(self)
+        setup_skip_decoders(self)
 
-        s11, s12, bott = self.skip_dims
+        _, _, bott = self.skip_dims
         d = self.drop_rate
-        self.decoder0 = [
-            ConvBNRelu(32, dropout=d, dtype=dt),
-            ConvBNRelu(64, dropout=d, dtype=dt),
-        ]
-        self.decoder1 = [
-            DeconvBlock(s11, dropout=d, dtype=dt),
-            DeconvBlock(s12, dropout=d, dtype=dt),
-            DeconvBlock(128, dropout=d, dtype=dt),
-        ]
-        self.decoder2 = [
-            DeconvBlock(s11, dropout=d, dtype=dt),
-            DeconvBlock(256, dropout=d, dtype=dt),
-        ]
-        self.decoder3 = [DeconvBlock(bott, dropout=d, dtype=dt)]
-
         offset = 2 if self.regression_loss else 0
         self.nuclei_binary_map_decoder = UpsamplingBranch(
             2 + offset, bott, dropout=d, dtype=dt

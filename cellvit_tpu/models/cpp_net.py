@@ -120,6 +120,7 @@ def CellViT256CPP(
         num_tissue_classes=num_tissue_classes,
         embed_dim=384, depth=12, num_heads=6, extract_layers=(3, 6, 9, 12),
         encoder_type="histo", nrays=nrays, drop_rate=drop_rate, dtype=dtype,
+        **kw,
     )
 
 
@@ -133,5 +134,5 @@ def CellViTSAMCPP(
         num_nuclei_classes=num_nuclei_classes,
         num_tissue_classes=num_tissue_classes,
         encoder_type="sam", nrays=nrays, drop_rate=drop_rate, dtype=dtype,
-        **cfg,
+        **cfg, **kw,
     )

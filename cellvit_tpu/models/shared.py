@@ -16,10 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cellvit_tpu.models.cellvit import SAM_CONFIGS
+from cellvit_tpu.models.cellvit import SAM_CONFIGS, setup_vit_encoder
 from cellvit_tpu.models.layers import ConvBNRelu, ConvTranspose2x2, DeconvBlock
-from cellvit_tpu.models.sam_vit import SamViT
-from cellvit_tpu.models.vit import HistoViT
 
 Dtype = Any
 
@@ -128,29 +126,7 @@ class CellViTShared(nn.Module):
     def setup(self):
         assert len(self.extract_layers) == 4
         dt = self.dtype
-        if self.encoder_type == "histo":
-            self.encoder = HistoViT(
-                embed_dim=self.embed_dim, depth=self.depth,
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, num_classes=self.num_tissue_classes,
-                patch_size=self.patch_size, extract_layers=self.extract_layers,
-                dropout=self.drop_rate, attn_dropout=self.attn_drop_rate,
-                drop_path_rate=self.drop_path_rate, remat=self.remat,
-                dtype=dt, name="encoder",
-            )
-        else:
-            self.encoder = SamViT(
-                embed_dim=self.embed_dim, depth=self.depth,
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, out_chans=self.prompt_embed_dim,
-                patch_size=self.patch_size, window_size=self.window_size,
-                global_attn_indexes=self.global_attn_indexes,
-                extract_layers=self.extract_layers, remat=self.remat,
-                dtype=dt, name="encoder",
-            )
-            self.classifier_head = nn.Dense(
-                self.num_tissue_classes, dtype=dt, name="classifier_head"
-            )
+        setup_vit_encoder(self)
         s11, s12, bott = self.skip_dims
         self.decoder = SharedDecoderTower(
             self.embed_dim, s11, s12, bott, dropout=self.drop_rate, dtype=dt,
@@ -209,29 +185,7 @@ class CellViTStarDistShared(CellViTShared):
     def setup(self):
         assert len(self.extract_layers) == 4
         dt = self.dtype
-        if self.encoder_type == "histo":
-            self.encoder = HistoViT(
-                embed_dim=self.embed_dim, depth=self.depth,
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, num_classes=self.num_tissue_classes,
-                patch_size=self.patch_size, extract_layers=self.extract_layers,
-                dropout=self.drop_rate, attn_dropout=self.attn_drop_rate,
-                drop_path_rate=self.drop_path_rate, remat=self.remat,
-                dtype=dt, name="encoder",
-            )
-        else:
-            self.encoder = SamViT(
-                embed_dim=self.embed_dim, depth=self.depth,
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, out_chans=self.prompt_embed_dim,
-                patch_size=self.patch_size, window_size=self.window_size,
-                global_attn_indexes=self.global_attn_indexes,
-                extract_layers=self.extract_layers, remat=self.remat,
-                dtype=dt, name="encoder",
-            )
-            self.classifier_head = nn.Dense(
-                self.num_tissue_classes, dtype=dt, name="classifier_head"
-            )
+        setup_vit_encoder(self)
         s11, s12, bott = self.skip_dims
         self.decoder = SharedDecoderTower(
             self.embed_dim, s11, s12, bott, dropout=self.drop_rate, dtype=dt,

@@ -19,10 +19,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cellvit_tpu.models.cellvit import SAM_CONFIGS, UpsamplingBranch
-from cellvit_tpu.models.layers import ConvBNRelu, DeconvBlock
-from cellvit_tpu.models.sam_vit import SamViT
-from cellvit_tpu.models.vit import HistoViT
+from cellvit_tpu.models.cellvit import (
+    SAM_CONFIGS,
+    UpsamplingBranch,
+    setup_skip_decoders,
+    setup_vit_encoder,
+)
 
 Dtype = Any
 
@@ -56,48 +58,8 @@ class CellViTStarDist(nn.Module):
 
     def setup(self):
         assert len(self.extract_layers) == 4
-        dt = self.dtype
-        if self.encoder_type == "histo":
-            self.encoder = HistoViT(
-                embed_dim=self.embed_dim, depth=self.depth,
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, num_classes=self.num_tissue_classes,
-                patch_size=self.patch_size, extract_layers=self.extract_layers,
-                dropout=self.drop_rate, attn_dropout=self.attn_drop_rate,
-                drop_path_rate=self.drop_path_rate, remat=self.remat,
-                dtype=dt, name="encoder",
-            )
-        else:
-            self.encoder = SamViT(
-                embed_dim=self.embed_dim, depth=self.depth,
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, out_chans=self.prompt_embed_dim,
-                patch_size=self.patch_size, window_size=self.window_size,
-                global_attn_indexes=self.global_attn_indexes,
-                extract_layers=self.extract_layers, remat=self.remat,
-                dtype=dt, name="encoder",
-            )
-            self.classifier_head = nn.Dense(
-                self.num_tissue_classes, dtype=dt, name="classifier_head"
-            )
-
-        s11, s12, bott = self.skip_dims
-        d = self.drop_rate
-        self.decoder0 = [
-            ConvBNRelu(32, dropout=d, dtype=dt),
-            ConvBNRelu(64, dropout=d, dtype=dt),
-        ]
-        self.decoder1 = [
-            DeconvBlock(s11, dropout=d, dtype=dt),
-            DeconvBlock(s12, dropout=d, dtype=dt),
-            DeconvBlock(128, dropout=d, dtype=dt),
-        ]
-        self.decoder2 = [
-            DeconvBlock(s11, dropout=d, dtype=dt),
-            DeconvBlock(256, dropout=d, dtype=dt),
-        ]
-        self.decoder3 = [DeconvBlock(bott, dropout=d, dtype=dt)]
-
+        setup_vit_encoder(self)
+        setup_skip_decoders(self)
         self._setup_branches()
 
     def _setup_branches(self):
@@ -167,6 +129,7 @@ def CellViT256StarDist(
         num_tissue_classes=num_tissue_classes,
         embed_dim=384, depth=12, num_heads=6, extract_layers=(3, 6, 9, 12),
         encoder_type="histo", nrays=nrays, drop_rate=drop_rate, dtype=dtype,
+        **kw,
     )
 
 
@@ -180,5 +143,5 @@ def CellViTSAMStarDist(
         num_nuclei_classes=num_nuclei_classes,
         num_tissue_classes=num_tissue_classes,
         encoder_type="sam", nrays=nrays, drop_rate=drop_rate, dtype=dtype,
-        **cfg,
+        **cfg, **kw,
     )

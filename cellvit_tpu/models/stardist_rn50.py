@@ -87,10 +87,36 @@ class ResNet50Encoder(nn.Module):
         return tuple(feats)  # 256/4, 512/8, 1024/16, 2048/32
 
 
+def _align_corners_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """1-D linear-resize operator with torch align_corners=True mapping
+    (``src = dst·(n_in−1)/(n_out−1)``). jax.image.resize only implements
+    half-pixel (align_corners=False) sampling, which shifts every sample
+    by up to half a source pixel — built at trace time, applied as a
+    matmul (same pattern as the pos-emb interpolation in vit.py)."""
+    import numpy as np
+
+    mat = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1 or n_out == 1:
+        mat[:, 0] = 1.0
+        return jnp.asarray(mat)
+    for i in range(n_out):
+        src = i * (n_in - 1) / (n_out - 1)
+        base = int(np.floor(src))
+        frac = src - base
+        mat[i, base] += 1.0 - frac
+        mat[i, min(base + 1, n_in - 1)] += frac
+    return jnp.asarray(mat)
+
+
 def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
-    """2× bilinear upsample, align_corners=True (torch nn.Upsample)."""
+    """2× bilinear upsample, align_corners=True (torch nn.Upsample,
+    reference cpp_net_stardist_rn50.py:68/94/623/633)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")
+    mh = _align_corners_matrix(h, 2 * h).astype(x.dtype)
+    mw = _align_corners_matrix(w, 2 * w).astype(x.dtype)
+    y = jnp.einsum("Hh,bhwc->bHwc", mh, x, preferred_element_type=jnp.float32)
+    y = jnp.einsum("Ww,bHwc->bHWc", mw, y, preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 class UpBlock(nn.Module):

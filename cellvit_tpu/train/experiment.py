@@ -222,6 +222,15 @@ class ExperimentCellVitPanNuke(BaseExperiment):
         data = dict(self.run_conf["data"])
         if "val_split" in data and data.get("val_split") and "val_folds" in data and data.get("val_folds"):
             raise RuntimeError("provide either val_split or val_folds, not both")
+        if not data.get("val_folds") and not data.get("val_split"):
+            import warnings
+
+            warnings.warn(
+                "neither val_folds nor val_split configured — validation "
+                "(and early stopping / model_best selection) will run on "
+                "the TRAINING folds",
+                stacklevel=2,
+            )
         full_cfg = {
             "dataset_path": data["dataset_path"],
             "train_folds": data["train_folds"],
@@ -312,7 +321,12 @@ class ExperimentCellVitPanNuke(BaseExperiment):
             sampler=SequentialSampler(len(val_ds)), num_workers=16,
         )
 
-        steps_per_epoch = max(1, len(train_loader))
+        # the schedule's step counter advances once per optimizer EMIT step:
+        # with gradient accumulation, optax.MultiSteps applies the inner
+        # update every accum_steps micro-batches, so epochs must be counted
+        # in emit steps or per-epoch schedules run accum_steps× too slowly
+        accum = max(1, int(tcfg.get("accum_steps", 1) or 1))
+        steps_per_epoch = max(1, len(train_loader) // accum)
         sch_cfg = tcfg.get("scheduler") or {}
         schedule = make_lr_schedule(
             sch_cfg.get("scheduler_type", "none") or "none",

@@ -93,6 +93,14 @@ class ExperimentCellViTStarDist(ExperimentCellVitPanNuke):
 
     def get_datasets(self, train_transforms, val_transforms):
         data = dict(self.run_conf["data"])
+        if not data.get("val_folds"):
+            import warnings
+
+            warnings.warn(
+                "no val_folds configured — validation (and early stopping / "
+                "model_best selection) will run on the TRAINING folds",
+                stacklevel=2,
+            )
         full_cfg = {
             "dataset_path": data["dataset_path"],
             "train_folds": data["train_folds"],

@@ -20,6 +20,15 @@ def _betas(kw: Dict) -> tuple:
     return tuple(kw.get("betas", (0.9, 0.999)))
 
 
+def _l2(kw: Dict, inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """torch-style coupled weight decay: L2 added to the gradient BEFORE
+    the adaptive scaling (all torch optimizers except AdamW)."""
+    wd = kw.get("weight_decay", 0.0)
+    if wd:
+        return optax.chain(optax.add_decayed_weights(wd), inner)
+    return inner
+
+
 def _adam(kw: Dict) -> optax.GradientTransformation:
     b1, b2 = _betas(kw)
     wd = kw.get("weight_decay", 0.0)
@@ -51,35 +60,35 @@ def _sgd(kw: Dict) -> optax.GradientTransformation:
 
 
 def _rmsprop(kw: Dict) -> optax.GradientTransformation:
-    return optax.chain(
+    return _l2(kw, optax.chain(
         optax.scale_by_rms(decay=kw.get("alpha", 0.99), eps=kw.get("eps", 1e-8)),
         optax.trace(decay=kw.get("momentum", 0.0))
         if kw.get("momentum", 0.0)
         else optax.identity(),
-    )
+    ))
 
 
 def _radam(kw: Dict) -> optax.GradientTransformation:
     b1, b2 = _betas(kw)
-    return optax.scale_by_radam(b1=b1, b2=b2, eps=kw.get("eps", 1e-8))
+    return _l2(kw, optax.scale_by_radam(b1=b1, b2=b2, eps=kw.get("eps", 1e-8)))
 
 
 def _adagrad(kw: Dict) -> optax.GradientTransformation:
-    return optax.scale_by_rss(
+    return _l2(kw, optax.scale_by_rss(
         initial_accumulator_value=kw.get("initial_accumulator_value", 0.0),
         eps=kw.get("eps", 1e-10),
-    )
+    ))
 
 
 def _adadelta(kw: Dict) -> optax.GradientTransformation:
-    return optax.contrib.scale_by_adadelta(
+    return _l2(kw, optax.scale_by_adadelta(
         rho=kw.get("rho", 0.9), eps=kw.get("eps", 1e-6)
-    )
+    ))
 
 
 def _adamax(kw: Dict) -> optax.GradientTransformation:
     b1, b2 = _betas(kw)
-    return optax.scale_by_adamax(b1=b1, b2=b2, eps=kw.get("eps", 1e-8))
+    return _l2(kw, optax.scale_by_adamax(b1=b1, b2=b2, eps=kw.get("eps", 1e-8)))
 
 
 def _sparse_adam(kw: Dict) -> optax.GradientTransformation:

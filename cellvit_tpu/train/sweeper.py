@@ -170,9 +170,8 @@ def run_agent(
         cfg = unflatten_dict({**flatten_dict(base_config), **assignment})
         cfg.pop("sweep", None)
         cfg.pop("parameters", None)
-        cfg.setdefault("logging", {})["log_comment"] = (
-            f"{cfg['logging'].get('log_comment', 'sweep')}_run{i}"
-        )
+        log_cfg = cfg.setdefault("logging", {})
+        log_cfg["log_comment"] = f"{log_cfg.get('log_comment', 'sweep')}_run{i}"
         # a crashed run must still produce a result file: otherwise the
         # claim blocks every agent forever and the sweep silently shrinks
         # (wandb.agent likewise records crashed runs and moves on)

@@ -283,6 +283,9 @@ class CellViTTrainer:
             batch = meshlib.shard_or_place(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, batch, sub, freeze)
+            # ONE transfer for the whole metric dict — float(v) per key
+            # would pay a device sync (tunnel round-trip) per scalar
+            metrics = jax.device_get(metrics)
             for k, v in metrics.items():
                 meters.setdefault(k, AverageMeter(k)).update(float(v))
         scalars = {k: m.avg for k, m in meters.items()}

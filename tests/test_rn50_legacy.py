@@ -69,3 +69,25 @@ def test_dense_and_residual_blocks():
     v3 = res_s2.init(jax.random.PRNGKey(0), x, train=False)
     y3 = res_s2.apply(v3, x, train=False)
     assert y3.shape == (1, 16, 16, 32)
+
+
+def test_bilinear_up2_matches_torch_align_corners():
+    """_bilinear_up2 vs torch nn.Upsample(scale_factor=2, mode='bilinear',
+    align_corners=True) — the reference RN50 decoder's upsampler."""
+    import torch
+
+    from cellvit_tpu.models.stardist_rn50 import _bilinear_up2
+
+    rng = np.random.default_rng(0)
+    for h, w in ((4, 4), (7, 5), (16, 16)):
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        want = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                scale_factor=2, mode="bilinear", align_corners=True,
+            )
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+        got = np.asarray(_bilinear_up2(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"{h}x{w}")

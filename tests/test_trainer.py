@@ -242,3 +242,48 @@ def test_new_optimizers_match_torch():
     base = float(np.sum((x0 - 1) ** 2) + 0.1 * np.sum(x0 ** 4))
     final = float(np.sum((out - 1) ** 2) + 0.1 * np.sum(out ** 4))
     assert final < base * 0.2
+
+
+def test_weight_decay_matches_torch_for_all_optimizers():
+    """Coupled L2 weight decay parity (torch adds wd·param to the gradient
+    before adaptive scaling) for every registry entry that supports it."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    x0 = np.array([1.5, -2.0, 0.3, 4.0], np.float32)
+
+    def torch_traj(opt_cls, steps=5, **kw):
+        p = torch.nn.Parameter(torch.from_numpy(x0.copy()))
+        opt = opt_cls([p], **kw)
+        for _ in range(steps):
+            opt.zero_grad()
+            ((p - 1.0) ** 2).sum().backward()
+            opt.step()
+        return p.detach().numpy()
+
+    def jax_traj(name, steps=5, **hp):
+        schedule = make_lr_schedule("none", hp.get("lr", 1e-2), 10, 1)
+        tx = retrieve_optimizer(name, dict(hp), schedule)
+        params = jnp.asarray(x0)
+        state = tx.init(params)
+        grad_fn = jax.grad(lambda p: jnp.sum((p - 1.0) ** 2))
+        for _ in range(steps):
+            upd, state = tx.update(grad_fn(params), state, params)
+            params = params + upd
+        return np.asarray(params)
+
+    wd = 0.1
+    cases = [
+        ("RMSprop", torch.optim.RMSprop, dict(lr=0.01)),
+        ("RAdam", torch.optim.RAdam, dict(lr=0.01)),
+        ("Adagrad", torch.optim.Adagrad, dict(lr=0.05)),
+        ("Adadelta", torch.optim.Adadelta, dict(lr=0.5)),
+        ("Adamax", torch.optim.Adamax, dict(lr=0.01)),
+        ("Adam", torch.optim.Adam, dict(lr=0.01)),
+        ("SGD", torch.optim.SGD, dict(lr=0.05, momentum=0.9)),
+    ]
+    for name, opt_cls, hp in cases:
+        got = jax_traj(name, weight_decay=wd, **hp)
+        want = torch_traj(opt_cls, weight_decay=wd, **hp)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6, err_msg=name)
