@@ -694,3 +694,111 @@ def _flax_path_to_torch_key(
                     n, tf = leafname("conv")
                 return f"{branch}.{tname}.{j}.block.{idx}.{n}", tf
     raise KeyError(f"unexportable path {path}")
+
+
+# --------------------------------------------------------------- RN50
+
+
+def _map_rn50_bn(prefix_path: Tuple[str, ...], leaf: str) -> MapResult:
+    if leaf == "weight":
+        return ("params", prefix_path + ("scale",), "none")
+    if leaf == "bias":
+        return ("params", prefix_path + ("bias",), "none")
+    if leaf == "running_mean":
+        return ("batch_stats", prefix_path + ("mean",), "none")
+    if leaf == "running_var":
+        return ("batch_stats", prefix_path + ("var",), "none")
+    return None
+
+
+def map_rn50_torch_key(key: str) -> MapResult:
+    """Map one StarDist-RN50 torch key (reference
+    cpp_net_stardist_rn50.py:615-728) to (collection, flax path, transform)
+    for `models.stardist_rn50.StarDistRN50`. Returns None for skips."""
+    if key.endswith("num_batches_tracked"):
+        return None
+    if key.startswith("encoder.fc."):
+        return None  # torchvision classifier head, unused by the model
+
+    if key.startswith("encoder."):
+        rest = key[len("encoder."):]
+        if rest.startswith("conv1."):
+            return ("params", ("encoder", "conv1", "kernel"), "conv")
+        if rest.startswith("bn1."):
+            return _map_rn50_bn(("encoder", "bn1"), rest.split(".")[-1])
+        m = re.match(r"layer(\d)\.(\d+)\.(.+)", rest)
+        if m:
+            stage, block, sub = m.group(1), m.group(2), m.group(3)
+            base = ("encoder", f"layer{stage}_{block}")
+            m2 = re.match(r"conv(\d)\.weight", sub)
+            if m2:
+                return ("params", base + (f"conv{m2.group(1)}", "kernel"), "conv")
+            m2 = re.match(r"bn(\d)\.(.+)", sub)
+            if m2:
+                return _map_rn50_bn(base + (f"bn{m2.group(1)}",), m2.group(2))
+            if sub == "downsample.0.weight":
+                return ("params", base + ("downsample_conv", "kernel"), "conv")
+            m2 = re.match(r"downsample\.1\.(.+)", sub)
+            if m2:
+                return _map_rn50_bn(base + ("downsample_bn",), m2.group(1))
+        raise KeyError(key)
+
+    # decoder up blocks: up{N}[_seg].conv.conv.{0,1,3,4} — double_conv is
+    # Sequential(Conv, GroupNorm, ELU, Conv, GroupNorm, ELU)
+    m = re.match(r"(up\d(?:_seg)?)\.conv\.conv\.(\d)\.(.+)", key)
+    if m:
+        name, idx, leaf = m.group(1), int(m.group(2)), m.group(3)
+        conv_n = {0: "conv1", 3: "conv2"}.get(idx)
+        gn_n = {1: "gn1", 4: "gn2"}.get(idx)
+        if conv_n:
+            tf = "conv" if leaf == "weight" else "none"
+            leafname = "kernel" if leaf == "weight" else "bias"
+            return ("params", (name, conv_n, leafname), tf)
+        if gn_n:
+            return (
+                "params",
+                (name, gn_n, "scale" if leaf == "weight" else "bias"),
+                "none",
+            )
+        raise KeyError(key)
+
+    if key.startswith("features."):
+        leaf = key.split(".")[-1]
+        return (
+            "params",
+            ("features", "kernel" if leaf == "weight" else "bias"),
+            "conv" if leaf == "weight" else "none",
+        )
+    m = re.match(r"(out_prob|out_ray|out_seg)\.conv\.(weight|bias)", key)
+    if m:
+        name, leaf = m.group(1), m.group(2)
+        return (
+            "params",
+            (name, "kernel" if leaf == "weight" else "bias"),
+            "conv" if leaf == "weight" else "none",
+        )
+    raise KeyError(key)
+
+
+def convert_rn50_state_dict(
+    state_dict: Dict[str, Any], strict: bool = True
+) -> Dict[str, Dict]:
+    """StarDist-RN50 torch state dict → flax variables (params, batch_stats)."""
+    variables: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+    unknown = []
+    for key, val in state_dict.items():
+        arr = np.asarray(val.numpy() if hasattr(val, "numpy") else val)
+        try:
+            r = map_rn50_torch_key(key)
+        except KeyError:
+            unknown.append(key)
+            continue
+        if r is None:
+            continue
+        coll, path, tf = r
+        _set_path(variables[coll], path, _TRANSFORMS[tf](arr).astype(np.float32))
+    if unknown and strict:
+        raise KeyError(
+            f"unmapped torch keys: {unknown[:10]}{'…' if len(unknown) > 10 else ''}"
+        )
+    return variables

@@ -37,8 +37,10 @@ class BottleneckBlock(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
+        # torch Conv2d(k=3, s, p=1) pads (1,1); flax "SAME" at stride 2
+        # pads (0,1) — a half-pixel grid shift on every strided stage
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
                     name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype,
@@ -120,7 +122,9 @@ def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class UpBlock(nn.Module):
-    """Bilinear up ×2 + concat skip + double conv (reference `up`)."""
+    """Bilinear up ×2 + concat skip + double conv (reference `up`:
+    (Conv → GroupNorm(C/8 groups) → ELU) × 2, cpp_net_stardist_rn50.py:22-39
+    — GroupNorm/ELU, not the BatchNorm/ReLU of the CellViT decoders)."""
 
     features: int
     dtype: Dtype = jnp.float32
@@ -140,11 +144,11 @@ class UpBlock(nn.Module):
         for i in range(2):
             y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
                         name=f"conv{i + 1}")(y)
-            y = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"bn{i + 1}",
+            y = nn.GroupNorm(
+                num_groups=self.features // 8, epsilon=1e-5,
+                dtype=self.dtype, name=f"gn{i + 1}",
             )(y)
-            y = nn.relu(y)
+            y = nn.elu(y)
         return y
 
 

@@ -143,3 +143,46 @@ def test_cellvit256_e2e_fullsize():
     torch.manual_seed(7)
     m = ref.cellvit.CellViT256(None, num_nuclei_classes=6, num_tissue_classes=19)
     _compare(m, CellViT256(num_nuclei_classes=6, num_tissue_classes=19), size=256)
+
+
+def test_stardist_rn50_e2e():
+    """StarDist-RN50 logits parity vs the reference torch implementation
+    (cpp_net_stardist_rn50.py:615-728): ResNet50 trunk (stem maxpool
+    disabled), two bilinear align_corners=True U-Net towers, ray ReLU."""
+    from cellvit_tpu.models.checkpoint_io import convert_rn50_state_dict
+    from cellvit_tpu.models.stardist_rn50 import StarDistRN50
+
+    import jax
+    import jax.numpy as jnp
+
+    rn50_mod = ref.cpp_net_stardist_rn50
+    # pretrained=True would download torchvision weights (no egress);
+    # random init exercises the identical graph
+    orig_resnet50 = rn50_mod.resnet50
+    rn50_mod.resnet50 = lambda pretrained=True, **kw: orig_resnet50(False, **kw)
+    try:
+        torch.manual_seed(11)
+        m = rn50_mod.StarDistRN50(n_rays=8, n_seg_cls=6).eval()
+    finally:
+        rn50_mod.resnet50 = orig_resnet50
+    # randomize BN stats so eval-mode normalization is actually exercised
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.2)
+                mod.running_var.uniform_(0.5, 2.0)
+
+    variables = convert_rn50_state_dict(m.state_dict(), strict=True)
+    model = StarDistRN50(n_rays=8, n_seg_cls=6)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out_j = jax.jit(lambda v, a: model.apply(v, a, train=False))(
+        variables, jnp.asarray(x)
+    )
+    for k in ("dist_map", "stardist_map", "nuclei_type_map"):
+        want = out_t[k].numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(out_j[k])
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4, err_msg=k)
