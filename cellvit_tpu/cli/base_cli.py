@@ -43,6 +43,11 @@ class ExperimentBaseParser:
             raise FileNotFoundError(f"config not found: {config_path}")
         with open(config_path) as f:
             config = yaml.safe_load(f)
+        # CLI-only keys cannot come from the YAML (reference
+        # base_cli.py:100-107) — a saved run config carries `checkpoint`,
+        # and re-training from it must not silently resume
+        for cli_only in ("run_sweep", "agent", "checkpoint"):
+            config.pop(cli_only, None)
         if args.gpu is not None:
             config["gpu"] = args.gpu
         if args.checkpoint:

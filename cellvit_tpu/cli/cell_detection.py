@@ -87,11 +87,20 @@ def main() -> None:
         wsi_root = Path(args.wsi_paths)
         patch_root = Path(args.patch_dataset_path)
         if args.filelist:
+            # reference utils/file_handling.py:7-21: read the named
+            # "Filename" column and filter by extension
             with open(args.filelist) as f:
-                names = [row[0] for row in csv.reader(f)][1:]
+                rows = [r for r in csv.DictReader(f) if r.get("Filename")]
+            names = [
+                r["Filename"]
+                for r in rows
+                if Path(r["Filename"]).suffix == f".{args.wsi_extension}"
+            ]
             files = [wsi_root / n for n in names]
         else:
-            files = sorted(wsi_root.glob(f"*.{args.wsi_extension}"))
+            # recursive: datasets may be laid out in per-case subdirectories
+            # (reference cell_detection.py:1093-1100 uses **/*.ext)
+            files = sorted(wsi_root.glob(f"**/*.{args.wsi_extension}"))
         for wsi_path in files:
             run_one(wsi_path, patch_root / wsi_path.stem)
 

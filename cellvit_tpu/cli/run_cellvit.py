@@ -57,7 +57,7 @@ def main() -> None:
 
         inference = InferenceCellViT(
             run_dir=run_dir,
-            checkpoint_name="latest_checkpoint",
+            checkpoint_name=config.get("eval_checkpoint", "latest_checkpoint"),
             magnification=config["data"].get("magnification", 40),
         )
         inference.run_patch_inference()

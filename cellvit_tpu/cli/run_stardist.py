@@ -18,6 +18,19 @@ def main() -> None:
         best, _ = run_sweep(config, ExperimentCellViTStarDist)
         print(f"sweep finished; best run: {best}")
         return
+    if config.get("agent"):
+        # join an existing sweep as an extra agent (reference
+        # run_{name}.py agent mode; local claim-file protocol)
+        import os
+
+        from cellvit_tpu.train.sweeper import resolve_sweep_dir, run_agent
+
+        sweep_dir = resolve_sweep_dir(config["agent"], config)
+        best, _ = run_agent(
+            sweep_dir, ExperimentCellViTStarDist, agent_name=f"agent-{os.getpid()}"
+        )
+        print(f"agent finished; best run so far: {best}")
+        return
     experiment = ExperimentCellViTStarDist(
         config, checkpoint=config.get("checkpoint")
     )

@@ -35,6 +35,10 @@ class Logger:
     def create_logger(self) -> logging.Logger:
         logger = logging.getLogger(f"cellvit_tpu.{self.comment}")
         logger.setLevel(self.level)
+        # close before clearing: sweeps create a Logger per run on the same
+        # name — clearing without close leaks one file descriptor per run
+        for h in logger.handlers:
+            h.close()
         logger.handlers.clear()
         logger.propagate = False
         fmt = logging.Formatter("%(asctime)s [%(levelname)s] - %(message)s")
@@ -80,8 +84,13 @@ class MetricLogger:
                     id=wandb_id, resume="must" if wandb_id else None,
                 )
                 self.wandb_id = self.wandb_run.id
-            except ImportError:
-                pass
+            except Exception as e:  # noqa: BLE001 — wandb is strictly optional
+                # not just ImportError: an installed-but-unauthenticated or
+                # offline wandb raises UsageError/CommError at init — fall
+                # back to JSONL-only logging instead of killing the run
+                import warnings
+
+                warnings.warn(f"wandb disabled ({type(e).__name__}: {e})")
 
     def log(self, metrics: Dict, step: Optional[int] = None) -> None:
         record = {"step": step, "ts": time.time(), **_to_plain(metrics)}

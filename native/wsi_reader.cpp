@@ -95,8 +95,13 @@ WsiHandle* wsi_open(const char* path) {
     } else {
       double ar0 = double(w0) / double(h0);
       double ar = double(w) / double(ht);
-      if (ar > ar0 * 0.95 && ar < ar0 * 1.05 && w < w0) {
-        h->levels.push_back({dir, w, ht, TIFFIsTiled(tif) != 0});
+      // aspect + width + TILED: Aperio SVS interleaves stripped
+      // thumbnail/label/macro directories whose aspect can match the
+      // slide — OpenSlide only admits tiled directories as pyramid
+      // levels, and level indices must agree with it
+      if (ar > ar0 * 0.95 && ar < ar0 * 1.05 && w < w0 &&
+          TIFFIsTiled(tif) != 0) {
+        h->levels.push_back({dir, w, ht, true});
       }
     }
     dir++;
