@@ -54,7 +54,7 @@ def _load_library() -> ctypes.CDLL:
     lib.wsi_write_pyramid.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32,
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int, ctypes.c_double,
-        ctypes.c_double,
+        ctypes.c_double, ctypes.c_int,
     ]
     _LIB = lib
     return lib
@@ -227,14 +227,21 @@ def open_slide(path: str):
 def write_test_pyramid(
     path: str, rgb: np.ndarray, tile_size: int = 64, n_levels: int = 3,
     mpp: float = 0.25, magnification: float = 40.0,
+    insert_stripped_thumbnail: bool = False,
 ) -> None:
-    """Write a synthetic tiled pyramidal TIFF (test fixture support)."""
+    """Write a synthetic tiled pyramidal TIFF (test fixture support).
+
+    `insert_stripped_thumbnail` interleaves an Aperio-style stripped
+    thumbnail directory after level 0 (real SVS layout) — the reader must
+    skip it during pyramid enumeration.
+    """
     lib = _load_library()
     rgb = np.ascontiguousarray(rgb, np.uint8)
     rc = lib.wsi_write_pyramid(
         str(path).encode(),
         rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         rgb.shape[1], rgb.shape[0], tile_size, n_levels, mpp, magnification,
+        int(insert_stripped_thumbnail),
     )
     if rc != 0:
         raise IOError(f"wsi_write_pyramid failed rc={rc}")

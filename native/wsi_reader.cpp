@@ -220,9 +220,13 @@ int wsi_read_region(WsiHandle* h, int level, int64_t x0, int64_t y0,
 // an Aperio-style description carrying MPP/AppMag). Levels are successive
 // 2× downsamples of the given image. Used by the test suite to synthesize
 // SVS-like slides without shipping data.
+// insert_stripped_thumbnail: emit an Aperio-style STRIPPED (non-tiled)
+// thumbnail directory after level 0 — real SVS files interleave these;
+// the reader must not count them as pyramid levels.
 int wsi_write_pyramid(const char* path, const uint8_t* rgb, uint32_t w,
                       uint32_t h, uint32_t tile_size, int n_levels,
-                      double mpp, double mag) {
+                      double mpp, double mag,
+                      int insert_stripped_thumbnail) {
   TIFF* tif = TIFFOpen(path, "w");
   if (!tif) return 1;
   std::vector<uint8_t> current(rgb, rgb + size_t(w) * h * 3);
@@ -258,6 +262,32 @@ int wsi_write_pyramid(const char* path, const uint8_t* rgb, uint32_t w,
     }
     if (level + 1 < n_levels) {
       TIFFWriteDirectory(tif);
+      if (level == 0 && insert_stripped_thumbnail) {
+        uint32_t tw = cw / 4, th = ch / 4;
+        TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, tw);
+        TIFFSetField(tif, TIFFTAG_IMAGELENGTH, th);
+        TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+        TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+        TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+        TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+        TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+        TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+        TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP, 16);
+        std::vector<uint8_t> row(size_t(tw) * 3);
+        for (uint32_t yy = 0; yy < th; yy++) {
+          for (uint32_t xx = 0; xx < tw; xx++) {
+            for (int c = 0; c < 3; c++) {
+              row[size_t(xx) * 3 + c] =
+                  current[(size_t(4 * yy) * cw + 4 * xx) * 3 + c];
+            }
+          }
+          if (TIFFWriteScanline(tif, row.data(), yy, 0) < 0) {
+            TIFFClose(tif);
+            return 3;
+          }
+        }
+        TIFFWriteDirectory(tif);
+      }
       uint32_t nw = cw / 2, nh = ch / 2;
       std::vector<uint8_t> next(size_t(nw) * nh * 3);
       for (uint32_t yy = 0; yy < nh; yy++) {

@@ -276,3 +276,28 @@ def test_polygon_overview(tmp_path):
     # combined overlay shows both
     dall = (out["all_overlays"].astype(int) - thumb.astype(int)).any(axis=-1)
     assert dall[60, 100] and dall[130, 240]
+
+
+def test_native_reader_skips_stripped_thumbnail(tmp_path, rng):
+    """Aperio SVS interleaves stripped thumbnail directories with the same
+    aspect as the slide; pyramid enumeration must admit only TILED
+    directories (OpenSlide semantics) so level indices stay stable."""
+    from cellvit_tpu.preprocessing.wsi_reader import NativeWSIReader, write_test_pyramid
+
+    img = (rng.uniform(0, 255, (256, 256, 3))).astype(np.uint8)
+    plain = tmp_path / "plain.svs"
+    with_thumb = tmp_path / "thumb.svs"
+    write_test_pyramid(str(plain), img, tile_size=64, n_levels=3)
+    write_test_pyramid(
+        str(with_thumb), img, tile_size=64, n_levels=3,
+        insert_stripped_thumbnail=True,
+    )
+    a = NativeWSIReader(plain)
+    b = NativeWSIReader(with_thumb)
+    assert b.level_count == a.level_count == 3
+    assert b.level_dimensions == a.level_dimensions
+    assert b.level_downsamples == a.level_downsamples
+    # and the pixel payloads of each level agree
+    ra = a.read_region((0, 0), 1, (64, 64))
+    rb = b.read_region((0, 0), 1, (64, 64))
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
