@@ -70,7 +70,13 @@ class InferenceCellViTMoNuSeg(InferenceCellViT):
         def positions(n: int) -> List[int]:
             pos = list(range(0, n - p + 1, stride))
             if not pos or pos[-1] != n - p:
-                pos.append(n - p)  # end-aligned patch so edges are covered
+                # end-aligned patch so edges are covered. Known limitation
+                # for sizes where (n-p) % stride != 0: the extra patch
+                # overlaps its neighbor by more than the margin, and a cell
+                # in that band can be "mid" in both patches and survive
+                # dedup twice. prepare_monuseg resizes to 1024 (reference
+                # parity), where the grid tiles exactly and this is moot.
+                pos.append(n - p)
             return pos
 
         # batch the tile grid through the device (one forward per
