@@ -8,10 +8,23 @@ override the YAML config.
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 from typing import Dict, Tuple
 
 import yaml
+
+
+def apply_platform_override() -> None:
+    """Honor ``CELLVIT_PLATFORM`` (e.g. ``cpu``, ``tpu``): some TPU hosts
+    pin ``jax_platforms`` programmatically in sitecustomize, so the
+    ``JAX_PLATFORMS`` env var alone cannot force a platform; this sets the
+    jax config directly before any backend initializes."""
+    platform = os.environ.get("CELLVIT_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
 
 class ExperimentBaseParser:
@@ -37,6 +50,7 @@ class ExperimentBaseParser:
         self.parser = parser
 
     def parse_arguments(self) -> Tuple[Dict, argparse.Namespace]:
+        apply_platform_override()
         args = self.parser.parse_args()
         config_path = Path(args.config)
         if not config_path.exists():

@@ -22,6 +22,8 @@ import itertools
 import json
 import os
 import random as pyrandom
+import time
+import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -59,6 +61,12 @@ def enumerate_configs(sweep_cfg: Dict, parameters: Dict, seed: int = 0) -> List[
         return combos
 
     # random / bayes (bayes falls back to random sampling locally)
+    if method == "bayes":
+        warnings.warn(
+            "sweep.method 'bayes' has no local Bayesian optimizer; "
+            "falling back to random sampling (see docs/PARITY.md)",
+            stacklevel=2,
+        )
     n = run_cap or 10
     combos = []
     for _ in range(n):
@@ -90,13 +98,18 @@ def create_sweep(base_config: Dict, seed: int = 0) -> Path:
     )
     log_dir = Path(base_config.get("logging", {}).get("log_dir", "runs"))
     name = sweep_cfg.get("name") or "sweep"
-    sweep_dir = log_dir / "sweeps" / name
-    if sweep_dir.exists() and (sweep_dir / "sweep.json").exists():
-        i = 1
-        while (log_dir / "sweeps" / f"{name}_{i}" / "sweep.json").exists():
+    # atomic creation: os.mkdir (no exist_ok) claims the name; concurrent
+    # creators racing on the same name each settle on a distinct suffix
+    (log_dir / "sweeps").mkdir(parents=True, exist_ok=True)
+    i = 0
+    while True:
+        sweep_dir = log_dir / "sweeps" / (name if i == 0 else f"{name}_{i}")
+        try:
+            os.mkdir(sweep_dir)
+            break
+        except FileExistsError:
             i += 1
-        sweep_dir = log_dir / "sweeps" / f"{name}_{i}"
-    (sweep_dir / "runs").mkdir(parents=True, exist_ok=True)
+    (sweep_dir / "runs").mkdir(exist_ok=True)
     (sweep_dir / "sweep.json").write_text(
         json.dumps(
             {
@@ -146,10 +159,19 @@ def resolve_sweep_dir(agent_id: str, base_config: Optional[Dict] = None) -> Path
 
 
 def run_agent(
-    sweep_dir: Path, experiment_class, agent_name: str = "agent"
+    sweep_dir: Path,
+    experiment_class,
+    agent_name: str = "agent",
+    reclaim_after: Optional[float] = None,
 ) -> Tuple[Dict, List[Dict]]:
     """Join a sweep: claim and execute unclaimed runs until none remain,
-    then aggregate all finished results. Returns (best record, records)."""
+    then aggregate all finished results. Returns (best record, records).
+
+    A hard-killed agent (OOM/SIGKILL) leaves a claim file with no matching
+    result file; such runs are reported as ``orphaned`` in
+    sweep_results.json. Pass ``reclaim_after`` (seconds) to delete claims
+    older than that with no result before claiming, so a later agent re-runs
+    them instead of the assignment silently disappearing."""
     sweep_dir = Path(sweep_dir)
     spec = json.loads((sweep_dir / "sweep.json").read_text())
     base_config = spec["base_config"]
@@ -158,6 +180,20 @@ def run_agent(
     metric_name = metric_cfg.get("name", "bPQ")
     maximize = metric_cfg.get("goal", "maximize") == "maximize"
     runs_dir = sweep_dir / "runs"
+
+    if reclaim_after is not None:
+        now = time.time()
+        for i in range(len(assignments)):
+            claim = runs_dir / f"run{i}.claim"
+            result = runs_dir / f"run{i}.result.json"
+            try:
+                stale = claim.exists() and not result.exists() and (
+                    now - claim.stat().st_mtime > reclaim_after
+                )
+            except FileNotFoundError:
+                continue  # claim vanished between exists() and stat()
+            if stale:
+                claim.unlink(missing_ok=True)
 
     for i, assignment in enumerate(assignments):
         claim = runs_dir / f"run{i}.claim"
@@ -199,6 +235,14 @@ def run_agent(
     records: List[Dict] = []
     for f in sorted(runs_dir.glob("run*.result.json")):
         records.append(json.loads(f.read_text()))
+    # claims with no result = agent died hard mid-run (OOM/SIGKILL) —
+    # surface them so the sweep doesn't silently shrink
+    done = {r["run"] for r in records}
+    orphaned = [
+        i
+        for i in range(len(assignments))
+        if i not in done and (runs_dir / f"run{i}.claim").exists()
+    ]
     scored = [r for r in records if r.get(metric_name) is not None]
     best = (
         max(scored, key=lambda r: r[metric_name])
@@ -210,7 +254,9 @@ def run_agent(
     # atomic snapshot of the result files present at write time; with
     # concurrent agents the last finisher writes the complete aggregate
     tmp = out_dir / f".sweep_results.{agent_name}.tmp"
-    tmp.write_text(json.dumps({"best": best, "runs": records}, indent=2))
+    tmp.write_text(
+        json.dumps({"best": best, "runs": records, "orphaned": orphaned}, indent=2)
+    )
     os.replace(tmp, out_dir / "sweep_results.json")
     return best, records
 

@@ -242,3 +242,92 @@ def test_resolve_sweep_dir_prefers_newest(tmp_path):
     assert d0.name == "dup" and d1.name == "dup_1"
     assert resolve_sweep_dir("dup", config) == d1
     assert resolve_sweep_dir(str(d0), config) == d0  # explicit path wins
+
+
+def test_bayes_method_warns_and_falls_back():
+    """`method: bayes` has no local optimizer; it must loudly degrade to
+    random sampling (VERDICT r2 weak #8; divergence listed in PARITY.md)."""
+    from cellvit_tpu.train.sweeper import enumerate_configs
+
+    with pytest.warns(UserWarning, match="bayes"):
+        combos = enumerate_configs(
+            {"method": "bayes", "run_cap": 3},
+            {"a.b": {"min": 0.0, "max": 1.0}},
+            seed=0,
+        )
+    assert len(combos) == 3
+
+
+def test_sweep_orphaned_claims_reported_and_reclaimable(tmp_path):
+    """A hard-killed agent (claim file, no result file) must be surfaced as
+    `orphaned` in sweep_results.json, and `reclaim_after` must let a later
+    agent re-run it (ADVICE r2: sweeper.py:165)."""
+    import os
+    import time
+
+    from cellvit_tpu.train.sweeper import create_sweep, run_agent
+
+    config = {
+        "logging": {"log_dir": str(tmp_path / "runs"), "log_comment": "x"},
+        "sweep": {"method": "grid", "name": "orphan",
+                  "metric": {"name": "bPQ", "goal": "maximize"}},
+        "parameters": {"training.lr": {"values": [1, 2]}},
+    }
+    sweep_dir = create_sweep(config)
+    # simulate an agent SIGKILLed mid-run-0: claim exists, no result ever
+    stale_claim = sweep_dir / "runs" / "run0.claim"
+    stale_claim.write_text("dead-agent")
+    old = time.time() - 3600
+    os.utime(stale_claim, (old, old))
+
+    class Ok:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+        def run_experiment(self):
+            d = tmp_path / f"run_lr{self.cfg['training']['lr']}"
+            d.mkdir(exist_ok=True)
+            (d / "metrics.jsonl").write_text('{"Validation/bPQ": 0.5}\n')
+            return d, None, None, None
+
+    # without reclaim: run0 skipped, reported orphaned
+    best, records = run_agent(sweep_dir, Ok, "agent-a")
+    results = json.loads(
+        (tmp_path / "runs" / "sweep_results.json").read_text()
+    )
+    assert results["orphaned"] == [0]
+    assert [r["run"] for r in records] == [1]
+
+    # with reclaim: the stale claim is released and run0 executes
+    best2, records2 = run_agent(sweep_dir, Ok, "agent-b", reclaim_after=60.0)
+    results2 = json.loads(
+        (tmp_path / "runs" / "sweep_results.json").read_text()
+    )
+    assert results2["orphaned"] == []
+    assert sorted(r["run"] for r in records2) == [0, 1]
+
+
+def test_example_configs_load_and_enumerate():
+    """The shipped example YAMLs must parse, validate, and (for the sweep
+    example) enumerate the documented grid (VERDICT r2 missing #4)."""
+    import yaml
+
+    from cellvit_tpu.train.sweeper import enumerate_configs
+    from cellvit_tpu.train.validator import validate_sweep_config
+
+    examples = Path(__file__).parent.parent / "configs" / "examples"
+    sweep_cfg = yaml.safe_load((examples / "train_cellvit_sweep.yaml").read_text())
+    validated = validate_sweep_config(sweep_cfg["sweep"])
+    combos = enumerate_configs(validated, sweep_cfg["parameters"])
+    assert len(combos) == 4  # 2 lrs × 2 gammas
+    assert all(
+        "training.optimizer_hyperparameter.lr" in c
+        and "training.scheduler.gamma" in c
+        for c in combos
+    )
+
+    sd_cfg = yaml.safe_load((examples / "train_stardist.yaml").read_text())
+    assert sd_cfg["model"]["n_rays"] == 32
+    assert sd_cfg["data"]["dataset"] == "PanNuke"
+    for name in ("train_cellvit.yaml", "preprocessing.yaml"):
+        assert yaml.safe_load((examples / name).read_text())
