@@ -110,14 +110,37 @@ def _align_corners_matrix(n_in: int, n_out: int) -> jnp.ndarray:
     return jnp.asarray(mat)
 
 
+def _up2_taps(n_in: int):
+    """Trace-time 2-tap stencil for ×2 align_corners=True linear resize:
+    output row i reads inputs floor(src)/floor(src)+1 at
+    ``src = i·(n−1)/(2n−1)``. The weights vary per row (align-corners
+    mapping), but every row is a 2-tap blend — O(n) gathers instead of the
+    former dense (2n,n) matmul (~1 TFLOP per einsum at 1024² tiles)."""
+    import numpy as np
+
+    if n_in == 1:
+        base = np.zeros(2, np.int32)
+        return base, base, np.zeros(2, np.float32)
+    i = np.arange(2 * n_in)
+    src = i * (n_in - 1) / (2 * n_in - 1)
+    base = np.floor(src).astype(np.int32)
+    frac = (src - base).astype(np.float32)
+    nxt = np.minimum(base + 1, n_in - 1).astype(np.int32)
+    return base, nxt, frac
+
+
 def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
     """2× bilinear upsample, align_corners=True (torch nn.Upsample,
-    reference cpp_net_stardist_rn50.py:68/94/623/633)."""
+    reference cpp_net_stardist_rn50.py:68/94/623/633). fp32 blend for
+    parity with the previous fp32-accumulating einsum."""
     b, h, w, c = x.shape
-    mh = _align_corners_matrix(h, 2 * h).astype(x.dtype)
-    mw = _align_corners_matrix(w, 2 * w).astype(x.dtype)
-    y = jnp.einsum("Hh,bhwc->bHwc", mh, x, preferred_element_type=jnp.float32)
-    y = jnp.einsum("Ww,bHwc->bHWc", mw, y, preferred_element_type=jnp.float32)
+    bh, nh, fh = _up2_taps(h)
+    bw, nw, fw = _up2_taps(w)
+    y = x.astype(jnp.float32)
+    fh_col = jnp.asarray(fh)[None, :, None, None]
+    y = jnp.take(y, bh, axis=1) * (1.0 - fh_col) + jnp.take(y, nh, axis=1) * fh_col
+    fw_row = jnp.asarray(fw)[None, None, :, None]
+    y = jnp.take(y, bw, axis=2) * (1.0 - fw_row) + jnp.take(y, nw, axis=2) * fw_row
     return y.astype(x.dtype)
 
 
