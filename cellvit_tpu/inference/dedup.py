@@ -184,27 +184,41 @@ def get_cell_position(bbox: np.ndarray, patch_size: int = 1024) -> List[int]:
 
 
 def get_cell_position_margin(
-    bbox: np.ndarray, patch_size: int = 1024, margin: int = 64
+    bbox: np.ndarray, patch_size: int = 1024, margin=64
 ) -> int:
-    """Margin status 0-8 (clockwise from top-left; 0 = mid)."""
-    if np.max(bbox) > patch_size - margin or np.min(bbox) < margin:
-        if bbox[0, 0] < margin:
-            if bbox[0, 1] < margin:
-                return 1
-            if bbox[1, 1] > patch_size - margin:
-                return 3
-            return 2
-        if bbox[1, 1] > patch_size - margin:
-            if bbox[1, 0] > patch_size - margin:
-                return 5
-            return 4
-        if bbox[1, 0] > patch_size - margin:
-            if bbox[0, 1] < margin:
-                return 7
-            return 6
-        if bbox[0, 1] < margin:
-            return 8
-        return 0
+    """Margin status 0-8 (clockwise from top-left; 0 = mid).
+
+    `margin` is a scalar (reference cell_detection.py:820-874 semantics,
+    uniform band) or a per-side (top, right, bottom, left) tuple — used by
+    grids with non-uniform overlaps (e.g. the end-aligned MoNuSeg patches,
+    whose final tile overlaps its neighbor by more than the nominal
+    margin): a cell inside any enlarged band must be classified margin in
+    *both* covering tiles so the overlap dedup sees it.
+    """
+    if np.isscalar(margin):
+        mt = mr = mb = ml = margin
+    else:
+        mt, mr, mb, ml = margin
+    top = bbox[0, 0] < mt
+    left = bbox[0, 1] < ml
+    bottom = bbox[1, 0] > patch_size - mb
+    right = bbox[1, 1] > patch_size - mr
+    if top:
+        if left:
+            return 1
+        if right:
+            return 3
+        return 2
+    if right:
+        if bottom:
+            return 5
+        return 4
+    if bottom:
+        if left:
+            return 7
+        return 6
+    if left:
+        return 8
     return 0
 
 

@@ -70,21 +70,34 @@ class InferenceCellViTMoNuSeg(InferenceCellViT):
         def positions(n: int) -> List[int]:
             pos = list(range(0, n - p + 1, stride))
             if not pos or pos[-1] != n - p:
-                # end-aligned patch so edges are covered. Known limitation
-                # for sizes where (n-p) % stride != 0: the extra patch
-                # overlaps its neighbor by more than the margin, and a cell
-                # in that band can be "mid" in both patches and survive
-                # dedup twice. prepare_monuseg resizes to 1024 (reference
-                # parity), where the grid tiles exactly and this is moot.
+                # end-aligned patch so edges are covered; its enlarged
+                # overlap with the previous tile is handled below by
+                # per-side margin widths
                 pos.append(n - p)
             return pos
 
+        def side_margins(pos: List[int]) -> List[tuple]:
+            """(before, after) margin width per grid index: the actual
+            overlap with the neighboring tile when it exceeds the nominal
+            `ov` (the end-aligned tile), else `ov` (reference semantics).
+            A cell inside an enlarged overlap band is then margin-classed
+            in both covering tiles, so `CellPostProcessor._remove_overlap`
+            dedups it instead of it surviving twice as "mid"."""
+            out = []
+            for i, q in enumerate(pos):
+                before = max(ov, pos[i - 1] + p - q) if i > 0 else ov
+                after = max(ov, q + p - pos[i + 1]) if i < len(pos) - 1 else ov
+                out.append((before, after))
+            return out
+
         # batch the tile grid through the device (one forward per
         # batch_size tiles, not per tile — each dispatch pays tunnel RTT)
+        ys, xs = positions(h), positions(w)
+        my, mx = side_margins(ys), side_margins(xs)
         grid = [
             (yi, y0, xi, x0)
-            for yi, y0 in enumerate(positions(h))
-            for xi, x0 in enumerate(positions(w))
+            for yi, y0 in enumerate(ys)
+            for xi, x0 in enumerate(xs)
         ]
         tile_out: List = [None] * len(grid)
         bs = max(1, self.batch_size)
@@ -119,7 +132,11 @@ class InferenceCellViTMoNuSeg(InferenceCellViT):
                             infos[inst_id]["centroid"] + [x0, y0]
                         ).tolist(),
                         "type": infos[inst_id]["type"],
-                        "cell_status": dd.get_cell_position_margin(bbox, p, ov),
+                        "cell_status": dd.get_cell_position_margin(
+                            bbox,
+                            p,
+                            (my[yi][0], mx[xi][1], my[yi][1], mx[xi][0]),
+                        ),
                         "patch_coordinates": [yi, xi],
                         "edge_position": bool(
                             bbox.max() == p or bbox.min() == 0
