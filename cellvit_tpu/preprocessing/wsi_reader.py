@@ -56,8 +56,33 @@ def _load_library() -> ctypes.CDLL:
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int, ctypes.c_double,
         ctypes.c_double, ctypes.c_int,
     ]
+    lib.wsi_level_compression.restype = ctypes.c_int
+    lib.wsi_level_compression.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.wsi_has_jpeg2000.restype = ctypes.c_int
+    lib.wsi_has_jpeg2000.argtypes = []
     _LIB = lib
     return lib
+
+
+#: Aperio private compression tags: per-tile raw JPEG-2000 codestreams
+#: (YCbCr / RGB). The reference decodes them via OpenSlide
+#: (patch_extraction.py:591); the native reader uses libopenjp2 at runtime.
+APERIO_J2K_YCBCR = 33003
+APERIO_J2K_RGB = 33005
+
+_READ_ERRORS = {
+    1: "invalid level",
+    2: "cannot select TIFF directory",
+    3: "missing tile geometry",
+    4: "stripped level too large to cache (open the tiled pyramid level instead)",
+    5: "stripped level decode failed",
+    6: (
+        "slide uses Aperio JPEG2000 compression (TIFF tag 33003/33005) and "
+        "libopenjp2 was not found — install libopenjp2 (OpenJPEG 2.x)"
+    ),
+    7: "TIFF compression codec not supported by the native reader",
+    8: "JPEG2000 tile decode failed",
+}
 
 
 class NativeWSIReader:
@@ -115,8 +140,14 @@ class NativeWSIReader:
             w, h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if rc != 0:
-            raise IOError(f"wsi_read_region failed rc={rc} on {self.path}")
+            why = _READ_ERRORS.get(rc, f"rc={rc}")
+            raise IOError(f"wsi_read_region failed on {self.path}: {why}")
         return out
+
+    def level_compression(self, level: int = 0) -> int:
+        """TIFF compression tag of a pyramid level (e.g. 33005 = Aperio
+        JPEG2000 RGB)."""
+        return self._lib.wsi_level_compression(self._handle, level)
 
     def get_thumbnail(self, max_size: int = 1024) -> np.ndarray:
         dims = self.level_dimensions
@@ -215,10 +246,22 @@ class PILReader:
 
 WSI_SUFFIXES = {".svs", ".tif", ".tiff", ".ndpi", ".scn"}
 
+#: Reference WSI_EXT formats (configs/python/config.py:10-19) that are NOT
+#: TIFF containers — they need OpenSlide's vendor drivers, which the native
+#: libtiff reader cannot provide. Rejected with a clear message rather than
+#: a confusing parse failure.
+UNSUPPORTED_SUFFIXES = {".bif", ".vms", ".vmu"}
+
 
 def open_slide(path: str):
     """Reader factory: native for TIFF-container formats, PIL otherwise."""
     suffix = Path(path).suffix.lower()
+    if suffix in UNSUPPORTED_SUFFIXES:
+        raise NotImplementedError(
+            f"{suffix} slides require OpenSlide vendor drivers; the native "
+            f"reader supports TIFF-container formats only "
+            f"({', '.join(sorted(WSI_SUFFIXES))})"
+        )
     if suffix in WSI_SUFFIXES:
         return NativeWSIReader(path)
     return PILReader(path)
@@ -245,3 +288,101 @@ def write_test_pyramid(
     )
     if rc != 0:
         raise IOError(f"wsi_write_pyramid failed rc={rc}")
+
+
+def write_test_j2k_pyramid(
+    path: str, rgb: np.ndarray, tile_size: int = 64,
+    compression: int = APERIO_J2K_RGB, n_levels: int = 2,
+) -> None:
+    """Write an Aperio-style JPEG2000-compressed tiled TIFF (test fixture).
+
+    Each tile is an independent JPEG-2000 codestream (Pillow/OpenJPEG
+    encoded) referenced from a hand-assembled classic little-endian TIFF —
+    the same container layout Aperio SVS uses for compression 33003
+    (YCbCr planes) / 33005 (RGB). libtiff cannot write these (no codec),
+    so the container is assembled directly.
+    """
+    import io
+    import struct
+
+    from PIL import Image
+
+    if compression not in (APERIO_J2K_RGB, APERIO_J2K_YCBCR):
+        raise ValueError(f"not an Aperio J2K tag: {compression}")
+
+    def encode_tile(arr: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        # lossless (5/3 wavelet) so RGB fixtures round-trip exactly
+        Image.fromarray(arr).save(buf, format="JPEG2000", irreversible=False)
+        return buf.getvalue()
+
+    def to_ycbcr(arr: np.ndarray) -> np.ndarray:
+        # full-range BT.601 (the convention Aperio 33003 streams use)
+        a = arr.astype(np.float64)
+        y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        cb = 128.0 - 0.168736 * a[..., 0] - 0.331264 * a[..., 1] + 0.5 * a[..., 2]
+        cr = 128.0 + 0.5 * a[..., 0] - 0.418688 * a[..., 1] - 0.081312 * a[..., 2]
+        return np.clip(np.stack([y, cb, cr], -1) + 0.5, 0, 255).astype(np.uint8)
+
+    levels = [np.ascontiguousarray(rgb, np.uint8)]
+    for _ in range(n_levels - 1):
+        prev = levels[-1]
+        h2, w2 = prev.shape[0] // 2, prev.shape[1] // 2
+        if min(h2, w2) < 1:
+            break
+        levels.append(
+            prev[: h2 * 2, : w2 * 2]
+            .reshape(h2, 2, w2, 2, 3)
+            .mean((1, 3))
+            .astype(np.uint8)
+        )
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, 0)  # next-IFD pointer patched below
+    patch_pos = 4
+    for lv in levels:
+        h, w = lv.shape[:2]
+        offs, cnts = [], []
+        for ty in range(0, h, tile_size):
+            for tx in range(0, w, tile_size):
+                tile = np.full((tile_size, tile_size, 3), 255, np.uint8)
+                sub = lv[ty : ty + tile_size, tx : tx + tile_size]
+                if compression == APERIO_J2K_YCBCR:
+                    sub = to_ycbcr(sub)
+                tile[: sub.shape[0], : sub.shape[1]] = sub
+                blob = encode_tile(tile)
+                offs.append(len(out))
+                cnts.append(len(blob))
+                out += blob
+        if len(out) % 2:
+            out += b"\0"
+        bits_off = len(out)
+        out += struct.pack("<3H", 8, 8, 8)
+        if len(offs) > 1:
+            offs_off = len(out)
+            out += struct.pack(f"<{len(offs)}I", *offs)
+            cnts_off = len(out)
+            out += struct.pack(f"<{len(cnts)}I", *cnts)
+        else:
+            offs_off, cnts_off = offs[0], cnts[0]
+        ifd_pos = len(out)
+        struct.pack_into("<I", out, patch_pos, ifd_pos)
+        entries = [
+            (256, 4, 1, w),                # ImageWidth
+            (257, 4, 1, h),                # ImageLength
+            (258, 3, 3, bits_off),         # BitsPerSample [8,8,8]
+            (259, 3, 1, compression),      # Compression (Aperio J2K)
+            (262, 3, 1, 2),                # Photometric RGB
+            (277, 3, 1, 3),                # SamplesPerPixel
+            (284, 3, 1, 1),                # PlanarConfig contiguous
+            (322, 4, 1, tile_size),        # TileWidth
+            (323, 4, 1, tile_size),        # TileLength
+            (324, 4, len(offs), offs_off if len(offs) > 1 else offs[0]),
+            (325, 4, len(cnts), cnts_off if len(cnts) > 1 else cnts[0]),
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        patch_pos = len(out)
+        out += struct.pack("<I", 0)  # next IFD (patched by the next level)
+    Path(path).write_bytes(bytes(out))

@@ -301,3 +301,77 @@ def test_native_reader_skips_stripped_thumbnail(tmp_path, rng):
     ra = a.read_region((0, 0), 1, (64, 64))
     rb = b.read_region((0, 0), 1, (64, 64))
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
+def test_native_reader_aperio_j2k_rgb(tmp_path, rng):
+    """Aperio 33005 (JPEG2000 RGB) slides decode through the runtime-loaded
+    libopenjp2 path; lossless fixture tiles must round-trip exactly,
+    including crops crossing tile boundaries and the downsampled level."""
+    from cellvit_tpu.preprocessing.wsi_reader import (
+        APERIO_J2K_RGB,
+        NativeWSIReader,
+        write_test_j2k_pyramid,
+        _load_library,
+    )
+
+    if not _load_library().wsi_has_jpeg2000():
+        import pytest
+
+        pytest.skip("libopenjp2 not available")
+
+    img = rng.integers(0, 255, (200, 300, 3)).astype(np.uint8)
+    path = tmp_path / "j2k.svs"
+    write_test_j2k_pyramid(str(path), img, tile_size=64, compression=APERIO_J2K_RGB)
+    r = NativeWSIReader(path)
+    assert r.level_count == 2
+    assert r.level_compression(0) == APERIO_J2K_RGB
+    np.testing.assert_array_equal(r.read_region((0, 0), 0, (300, 200)), img)
+    # tile-boundary-crossing crop
+    np.testing.assert_array_equal(
+        r.read_region((70, 50), 0, (100, 90)), img[50:140, 70:170]
+    )
+    assert r.level_dimensions[1] == (150, 100)
+    r.close()
+
+
+def test_native_reader_aperio_j2k_ycbcr(tmp_path, rng):
+    """Aperio 33003 codestreams carry YCbCr planes; the reader must apply
+    the BT.601 full-range inverse (OpenSlide semantics) — round trip within
+    conversion rounding."""
+    from cellvit_tpu.preprocessing.wsi_reader import (
+        APERIO_J2K_YCBCR,
+        NativeWSIReader,
+        write_test_j2k_pyramid,
+        _load_library,
+    )
+
+    if not _load_library().wsi_has_jpeg2000():
+        import pytest
+
+        pytest.skip("libopenjp2 not available")
+
+    img = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+    path = tmp_path / "j2k_ycc.svs"
+    write_test_j2k_pyramid(
+        str(path), img, tile_size=64, compression=APERIO_J2K_YCBCR, n_levels=1
+    )
+    r = NativeWSIReader(path)
+    got = r.read_region((0, 0), 0, (128, 128))
+    d = np.abs(got.astype(int) - img.astype(int))
+    assert d.max() <= 2, d.max()
+    r.close()
+
+
+def test_native_reader_rejects_nontiff_vendor_formats(tmp_path):
+    """bif/vms/vmu (reference WSI_EXT, configs/python/config.py:10-19) need
+    OpenSlide vendor drivers — open_slide must fail with a clear message,
+    not a parse error."""
+    import pytest
+
+    from cellvit_tpu.preprocessing.wsi_reader import open_slide
+
+    for suffix in (".bif", ".vms", ".vmu"):
+        p = tmp_path / f"slide{suffix}"
+        p.write_bytes(b"\0" * 16)
+        with pytest.raises(NotImplementedError, match="OpenSlide"):
+            open_slide(str(p))
