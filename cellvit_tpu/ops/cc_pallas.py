@@ -115,6 +115,83 @@ def connected_components_pallas(
     )(fg.astype(jnp.int8))
 
 
+def _propmin_kernel(seed_ref, fg_ref, out_ref, b_ref, t_ref, *, n_outer: int):
+    h, w = out_ref.shape[1], out_ref.shape[2]
+    fg32 = fg_ref[0].astype(jnp.int32)
+    v = out_ref.at[0]
+    v[...] = jnp.where(fg32 != 0, seed_ref[0], INT_MAX)
+
+    def outer(_, carry):
+        for axis, size in ((0, h), (1, w)):
+            for reverse in (False, True):
+                _segmin_direction(v, b_ref, t_ref, fg_ref.at[0], axis,
+                                  reverse, size)
+                v[...] = jnp.where(fg32 != 0, v[...], INT_MAX)
+        return carry
+
+    jax.lax.fori_loop(0, n_outer, outer, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_outer", "interpret"))
+def propagate_min_pallas(
+    seed: jnp.ndarray, fg: jnp.ndarray, n_outer: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Min-propagate `seed` values over 4-connected foreground components.
+
+    (B, H, W) int32 seed / bool fg → per component, every pixel converges
+    to the component's minimum seed (INT_MAX where no finite seed reaches;
+    background keeps INT_MAX). Same doubling-scan dynamics as the CC
+    kernel, so the same `n_outer` that labels a shape also floods it.
+    """
+    b, h, w = seed.shape
+    return pl.pallas_call(
+        functools.partial(_propmin_kernel, n_outer=n_outer),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((h, w), jnp.int32),
+            pltpu.VMEM((h, w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(seed.astype(jnp.int32), fg.astype(jnp.int8))
+
+
+@functools.partial(jax.jit, static_argnames=("n_outer", "interpret"))
+def compact_root_labels_pallas(
+    lab: jnp.ndarray, n_outer: int = 3, interpret: bool = False
+) -> jnp.ndarray:
+    """Gather-free label compaction: (B, H, W) root labels (component-min
+    linear index + 1, 0 = background) → consecutive 1..N in raster order
+    of roots (scipy numbering, identical to `cc.compact_root_labels`).
+
+    The textbook formulation gathers `cumsum(is_root)[lab]` — a 1M-element
+    random gather that costs ~66 ms at 8×1024² on TPU (round-3 profiling).
+    Here the root's rank is instead min-PROPAGATED across its component
+    (each component has exactly one finite seed), which is pure VPU work
+    in VMEM — ~3 ms for the same input.
+    """
+    b, h, w = lab.shape
+    n = h * w
+    fg = lab > 0
+    iota = jnp.arange(n, dtype=jnp.int32).reshape(1, h, w)
+    is_root = fg & (lab - 1 == iota)
+    new_id = jnp.cumsum(
+        is_root.reshape(b, n).astype(jnp.int32), axis=1
+    ).reshape(b, h, w)
+    seed = jnp.where(is_root, new_id, INT_MAX)
+    out = propagate_min_pallas(seed, fg, n_outer=n_outer, interpret=interpret)
+    return jnp.where(fg, out, 0)
+
+
 def _segor_direction(v_ref, b_ref, t_ref, open_ref, axis: int, reverse: bool,
                      size: int):
     b_ref[...] = 1 - open_ref[...].astype(jnp.int32)

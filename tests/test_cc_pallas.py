@@ -95,3 +95,39 @@ def test_watershed_pallas_matches_xla(rng):
         interpret=True,
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def test_compact_root_labels_pallas_matches_gather(rng):
+    """Rank-propagation compaction must reproduce the gather formulation
+    (and scipy raster numbering) exactly, including U/ring shapes that
+    need the full n_outer propagation depth."""
+    import jax
+
+    from cellvit_tpu.ops import cc
+    from cellvit_tpu.ops.cc_pallas import compact_root_labels_pallas
+
+    m = np.zeros((2, 64, 64), bool)
+    yy, xx = np.mgrid[0:64, 0:64]
+    for b in range(2):
+        for _ in range(25):
+            cy, cx = rng.integers(4, 60, 2)
+            r = int(rng.integers(2, 5))
+            m[b] |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+    # U shape and ring: worst-case propagation turns
+    m[0, 10:30, 10:12] = True
+    m[0, 28:30, 10:30] = True
+    m[0, 10:30, 28:30] = True
+    m[1, 40:60, 40:42] = True
+    m[1, 40:42, 40:60] = True
+    m[1, 58:60, 40:60] = True
+    m[1, 40:60, 58:60] = True
+
+    lab = connected_components_pallas(jnp.asarray(m), n_outer=3, interpret=True)
+    got = np.asarray(compact_root_labels_pallas(lab, n_outer=3, interpret=True))
+    want = np.asarray(jax.vmap(cc.compact_root_labels)(lab))
+    np.testing.assert_array_equal(got, want)
+    for b in range(2):
+        ref, _ = ndimage.label(
+            m[b], structure=[[0, 1, 0], [1, 1, 1], [0, 1, 0]]
+        )
+        np.testing.assert_array_equal(got[b], ref)
