@@ -273,6 +273,67 @@ def fill_holes_pallas(
     return mask | (bg & ~reach)
 
 
+def _rm_small_kernel(lab_ref, out_ref, row_ref, tmp_ref, *, min_size: int):
+    """Windowed same-label counting (see cc.remove_small_objects_window for
+    the exactness proof). The count accumulates in out_ref; rolls replace
+    the unaligned lane-offset slices that made the round-2 attempt
+    pathological to compile, and wraparound contamination is masked with
+    iota compares instead of strip stores (no extra scratch writes)."""
+    h, w = out_ref.shape[1], out_ref.shape[2]
+    r = min_size - 1
+    lab = lab_ref[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    cnt = out_ref.at[0]
+    cnt[...] = jnp.zeros((h, w), jnp.int32)
+    for dy in range(-r, r + 1):
+        row_ref[...] = pltpu.roll(lab, dy % h, 0)
+        rgate = (row >= dy) if dy > 0 else (row < h + dy)
+        # -1 sentinel never matches a label (labels are ≥ 0)
+        row_ref[...] = jnp.where(rgate, row_ref[...], -1)
+        for i, dx in enumerate(range(-r, r + 1)):
+            if i == 0:
+                tmp_ref[...] = pltpu.roll(row_ref[...], (-r) % w, 1)
+            else:
+                tmp_ref[...] = pltpu.roll(tmp_ref[...], 1, 1)
+            cgate = (col >= dx) if dx > 0 else (col < w + dx)
+            cnt[...] = cnt[...] + jnp.where(
+                cgate & (tmp_ref[...] == lab), 1, 0
+            )
+    keep = (lab > 0) & (cnt[...] >= min_size)
+    cnt[...] = jnp.where(keep, lab, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("min_size", "interpret"))
+def remove_small_objects_pallas(
+    labels: jnp.ndarray, min_size: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Batched exact small-object removal, whole image in VMEM.
+
+    (B, H, W) int32 labels → components with < min_size pixels zeroed
+    (identical to `cc.remove_small_objects_window`, which streams the
+    (2·min_size−1)² shifted compares through HBM — ~16 ms per call at
+    8×1024²/min_size 10 vs VPU-bound VMEM work here)."""
+    if min_size <= 1:
+        return labels
+    b, h, w = labels.shape
+    return pl.pallas_call(
+        functools.partial(_rm_small_kernel, min_size=min_size),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((h, w), jnp.int32),
+            pltpu.VMEM((h, w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(labels.astype(jnp.int32))
+
+
 _WS_INF = np.int32(2**30)
 
 

@@ -47,6 +47,7 @@ def _instance_map_impl(
             compact_root_labels_pallas,
             connected_components_pallas,
             fill_holes_pallas,
+            remove_small_objects_pallas,
         )
 
         # nuclei blobs converge in 2 propagation passes, U-shapes in 3;
@@ -56,6 +57,9 @@ def _instance_map_impl(
         # rank-propagation compaction: the gather formulation costs ~66 ms
         # at 8×1024² (round-3 profiling); the Pallas flood ~3 ms
         compact = lambda l: compact_root_labels_pallas(l, n_outer=3)
+        # VMEM-resident windowed counting (the XLA version streams 361
+        # shifted compares through HBM: ~30 ms across the two calls)
+        rm_small = remove_small_objects_pallas
         # NB: watershed stays on the XLA version even here — HV markers are
         # pre-grown blobs, so its early-exit stabilization beats the Pallas
         # kernel's fixed 64-level loop (49 vs 55 ms at 8×1024²); the Pallas
@@ -68,12 +72,10 @@ def _instance_map_impl(
         fill = jax.vmap(lambda m: cc.fill_holes(m, max_iters=cc_iters))
         flood = jax.vmap(partial(watershed, levels=levels))
         compact = jax.vmap(cc.compact_root_labels)
-
-    # scatter-free size filter; a Pallas variant was tried and rejected
-    # (361 unaligned lane-offset slices → pathological Mosaic compile time)
-    rm_small = lambda l, ms: jax.vmap(
-        lambda x: cc.remove_small_objects_window(x, ms)
-    )(l)
+        # scatter-free size filter (CPU path)
+        rm_small = lambda l, ms: jax.vmap(
+            lambda x: cc.remove_small_objects_window(x, ms)
+        )(l)
 
     fg = np_prob >= 0.5
     lab = label_roots(fg)

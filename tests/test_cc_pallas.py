@@ -131,3 +131,28 @@ def test_compact_root_labels_pallas_matches_gather(rng):
             m[b], structure=[[0, 1, 0], [1, 1, 1], [0, 1, 0]]
         )
         np.testing.assert_array_equal(got[b], ref)
+
+
+def test_remove_small_objects_pallas_matches_window(rng):
+    """VMEM windowed-count kernel ≡ the XLA shifted-compare formulation on
+    a noisy many-component mask (both implement the exact L∞-window
+    criterion of cc.remove_small_objects_window)."""
+    import jax
+
+    from cellvit_tpu.ops import cc
+    from cellvit_tpu.ops.cc_pallas import (
+        compact_root_labels_pallas,
+        remove_small_objects_pallas,
+    )
+
+    m = rng.random((2, 96, 128)) < 0.35
+    lab = connected_components_pallas(jnp.asarray(m), n_outer=4, interpret=True)
+    lab = compact_root_labels_pallas(lab, n_outer=4, interpret=True)
+    for ms in (3, 10):
+        got = np.asarray(
+            remove_small_objects_pallas(lab, ms, interpret=True)
+        )
+        want = np.asarray(
+            jax.vmap(lambda x: cc.remove_small_objects_window(x, ms))(lab)
+        )
+        np.testing.assert_array_equal(got, want)
