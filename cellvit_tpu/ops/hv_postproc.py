@@ -47,7 +47,6 @@ def _instance_map_impl(
             compact_root_labels_pallas,
             connected_components_pallas,
             fill_holes_pallas,
-            remove_small_objects_pallas,
         )
 
         # nuclei blobs converge in 2 propagation passes, U-shapes in 3;
@@ -57,9 +56,14 @@ def _instance_map_impl(
         # rank-propagation compaction: the gather formulation costs ~66 ms
         # at 8×1024² (round-3 profiling); the Pallas flood ~3 ms
         compact = lambda l: compact_root_labels_pallas(l, n_outer=3)
-        # VMEM-resident windowed counting (the XLA version streams 361
-        # shifted compares through HBM: ~30 ms across the two calls)
-        rm_small = remove_small_objects_pallas
+        # size filter stays on the XLA windowed-compare path: the Pallas
+        # variant (cc_pallas.remove_small_objects_pallas) is correct but
+        # its 361 lane rolls are pathological to compile on Mosaic
+        # (>40 min at 1024², round-3 — matching the round-2 slice-based
+        # attempt); XLA costs ~9+20 ms for the two calls
+        rm_small = lambda l, ms: jax.vmap(
+            lambda x: cc.remove_small_objects_window(x, ms)
+        )(l)
         # NB: watershed stays on the XLA version even here — HV markers are
         # pre-grown blobs, so its early-exit stabilization beats the Pallas
         # kernel's fixed 64-level loop (49 vs 55 ms at 8×1024²); the Pallas
