@@ -38,11 +38,15 @@ def make_gt_tile(
     size: int = 256,
     n_cells: int = 28,
     n_types: int = 5,
+    scale: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """GT (inst_map, type_map) with rotated elliptical nuclei.
 
     Cells are dropped in clusters so a substantial fraction touch — the
-    regime where watershed ridge placement actually matters.
+    regime where watershed ridge placement actually matters. `scale`
+    shrinks nuclei linearly (0.5 emulates 20× magnification, where the
+    reference switches to ksize=11 / object_size=3 —
+    post_proc_cellvit.py:55-65).
     """
     inst = np.zeros((size, size), np.int32)
     types = np.zeros((size, size), np.int32)
@@ -56,14 +60,14 @@ def make_gt_tile(
             # cluster: drop next to an existing cell so boundaries touch
             ay, ax = anchors[rng.integers(len(anchors))]
             ang = rng.uniform(0, 2 * np.pi)
-            d = rng.uniform(8, 14)
+            d = rng.uniform(8, 14) * scale
             cy, cx = ay + d * np.sin(ang), ax + d * np.cos(ang)
         else:
             cy, cx = rng.uniform(12, size - 12), rng.uniform(12, size - 12)
         if not (8 <= cy < size - 8 and 8 <= cx < size - 8):
             continue
-        a = rng.uniform(4.5, 9.0)  # semi-axes
-        b = rng.uniform(3.5, a)
+        a = rng.uniform(4.5, 9.0) * scale  # semi-axes
+        b = rng.uniform(3.5 * scale, a)
         th = rng.uniform(0, np.pi)
         ct, st = np.cos(th), np.sin(th)
         u = (xx - cx) * ct + (yy - cy) * st
@@ -100,6 +104,141 @@ def model_like_outputs(
     )
     hv = (hv + rng.normal(0, noise, hv.shape)).astype(np.float32)
     return np_prob, hv
+
+
+def render_tile_image(
+    rng: np.random.Generator, inst: np.ndarray, types: np.ndarray
+) -> np.ndarray:
+    """Deterministic-ish H&E-like rendering of a GT tile: light stroma,
+    dark basophilic nuclei with per-type tint. Gives the real-model mode a
+    learnable image→(NP, HV) mapping."""
+    import cv2
+
+    size = inst.shape[0]
+    img = np.full((size, size, 3), 0.82, np.float32)
+    img += rng.normal(0, 0.02, img.shape).astype(np.float32)
+    tint = np.array(
+        [[0.35, 0.2, 0.5], [0.3, 0.25, 0.45], [0.4, 0.15, 0.45],
+         [0.3, 0.2, 0.55], [0.35, 0.3, 0.5], [0.25, 0.2, 0.4]],
+        np.float32,
+    )
+    fg = inst > 0
+    img[fg] = tint[(types[fg] - 1) % len(tint)]
+    img += rng.normal(0, 0.015, img.shape).astype(np.float32)
+    img = cv2.GaussianBlur(img, (3, 3), 0)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def real_model_outputs(
+    tiles: List[Tuple[np.ndarray, np.ndarray]],
+    train_steps: int = 150,
+    seed: int = 0,
+    embed_dim: int = 96,
+    depth: int = 4,
+    crop: int = 64,
+    batch: int = 8,
+    lr: float = 1e-3,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Train a small CellViT on rendered GT tiles, then predict the
+    harness inputs with it — the measured PQ delta then covers *real*
+    network error structure (asymmetric HV fields, fragmented NP blobs)
+    instead of GT+blur+noise (VERDICT r2 weak item 6).
+
+    Returns per-tile (np_prob, hv) predicted by the trained model.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cellvit_tpu.data.labels import gen_instance_hv_map
+    from cellvit_tpu.models.cellvit import CellViT
+
+    rng_np = np.random.default_rng(seed + 1)
+    imgs = [render_tile_image(rng_np, i, t) for i, t in tiles]
+    hv_gt = [gen_instance_hv_map(i) for i, _ in tiles]
+
+    model = CellViT(
+        num_nuclei_classes=6,
+        num_tissue_classes=2,
+        embed_dim=embed_dim,
+        depth=depth,
+        num_heads=4,
+        extract_layers=(1, 2, 3, 4),
+        encoder_type="histo",
+    )
+    variables = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, crop, crop, 3)), train=False
+    )
+    tx = optax.adamw(lr)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch_stats, imgs_b, nb_b, hv_b):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, imgs_b,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        nb_logits = out["nuclei_binary_map"]
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            nb_logits, nb_b
+        ).mean()
+        mse = jnp.mean((out["hv_map"] - hv_b) ** 2)
+        return ce + mse, updates["batch_stats"]
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, imgs_b, nb_b, hv_b):
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, imgs_b, nb_b, hv_b)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (
+            optax.apply_updates(params, updates),
+            batch_stats,
+            opt_state,
+            loss,
+        )
+
+    size = tiles[0][0].shape[0]
+    for step in range(train_steps):
+        ib, nb, hb = [], [], []
+        for _ in range(batch):
+            ti = rng_np.integers(len(tiles))
+            y0 = int(rng_np.integers(0, size - crop + 1))
+            x0 = int(rng_np.integers(0, size - crop + 1))
+            ib.append(imgs[ti][y0 : y0 + crop, x0 : x0 + crop])
+            nb.append(
+                (tiles[ti][0][y0 : y0 + crop, x0 : x0 + crop] > 0).astype(
+                    np.int32
+                )
+            )
+            hb.append(hv_gt[ti][y0 : y0 + crop, x0 : x0 + crop])
+        params, batch_stats, opt_state, _ = train_step(
+            params, batch_stats, opt_state,
+            jnp.asarray(np.stack(ib)), jnp.asarray(np.stack(nb)),
+            jnp.asarray(np.stack(hb)),
+        )
+
+    @jax.jit
+    def predict(params, batch_stats, imgs_b):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, imgs_b,
+            train=False,
+        )
+        prob = jax.nn.softmax(
+            out["nuclei_binary_map"].astype(jnp.float32), -1
+        )[..., 1]
+        return prob, out["hv_map"].astype(jnp.float32)
+
+    preds: List[Tuple[np.ndarray, np.ndarray]] = []
+    for i in range(0, len(tiles), 4):
+        probs, hvs = predict(
+            params, batch_stats, jnp.asarray(np.stack(imgs[i : i + 4]))
+        )
+        for j in range(probs.shape[0]):
+            preds.append((np.asarray(probs[j]), np.asarray(hvs[j])))
+    return preds
 
 
 def _binary_pq(gt_inst: np.ndarray, pred_inst: np.ndarray) -> float:
@@ -145,20 +284,45 @@ def measure_pq_delta(
     seed: int = 0,
     batch: int = 8,
     n_types: int = 5,
+    source: str = "synthetic",
+    train_steps: int = 150,
 ) -> Dict:
-    """Run the harness; returns the report dict (see module docstring)."""
+    """Run the harness; returns the report dict (see module docstring).
+
+    source: "synthetic" = GT + blur + noise (fast, optimistic error
+    structure); "model" = predictions of a small CellViT trained on
+    rendered GT tiles (real network error structure). At
+    magnification=20 the GT nuclei are half-size and the (11, 3)
+    postprocessing parameters are exercised.
+    """
     import jax.numpy as jnp
 
     from cellvit_tpu.ops.hv_postproc import instance_map_batch
     from cellvit_tpu.ops.hv_postproc_np import magnification_params
 
     object_size, ksize = magnification_params(magnification)
+    # 20×: nuclei shrink linearly. 0.85 of the synthetic base puts the
+    # exact host pipeline at bPQ ≈ 0.55 — the same regime the reference's
+    # x20 ablation reports (logs_paper SAM-H x20: bPQ 0.55, SURVEY §6);
+    # a naive 0.5 makes nuclei smaller than the 5×5 marker erosion and
+    # degenerates both pipelines to bPQ ≈ 0.
+    scale = 1.0 if magnification >= 40 else 0.85
     rng = np.random.default_rng(seed)
-    tiles = []
-    for _ in range(n_tiles):
-        inst, types = make_gt_tile(rng, size=size, n_types=n_types)
-        np_prob, hv = model_like_outputs(rng, inst)
-        tiles.append((inst, types, np_prob, hv))
+    gt = [
+        make_gt_tile(rng, size=size, n_types=n_types, scale=scale)
+        for _ in range(n_tiles)
+    ]
+    if source == "model":
+        preds = real_model_outputs(gt, train_steps=train_steps, seed=seed)
+        tiles = [
+            (inst, types, p, h)
+            for (inst, types), (p, h) in zip(gt, preds)
+        ]
+    else:
+        tiles = []
+        for inst, types in gt:
+            np_prob, hv = model_like_outputs(rng, inst)
+            tiles.append((inst, types, np_prob, hv))
 
     exact = [
         hv_postproc_np.proc_np_hv(p, h, object_size=object_size, ksize=ksize)
@@ -191,6 +355,7 @@ def measure_pq_delta(
         "n_tiles": n_tiles,
         "size": size,
         "magnification": magnification,
+        "source": source,
         "exact": {"bPQ": exact_bpq, "mPQ": exact_mpq},
         "levels": {},
     }
@@ -211,6 +376,14 @@ def measure_pq_delta(
 
 def main() -> None:
     import argparse
+    import os
+
+    # CELLVIT_PLATFORM=cpu forces the CPU backend (the axon sitecustomize
+    # overrides JAX_PLATFORMS, so this must be a config update — CLAUDE.md)
+    if os.environ.get("CELLVIT_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["CELLVIT_PLATFORM"])
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tiles", type=int, default=200)
@@ -218,6 +391,10 @@ def main() -> None:
     ap.add_argument("--levels", type=int, nargs="+", default=[64, 128, 256])
     ap.add_argument("--magnification", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--source", choices=["synthetic", "model"], default="synthetic"
+    )
+    ap.add_argument("--train-steps", type=int, default=150)
     args = ap.parse_args()
     report = measure_pq_delta(
         n_tiles=args.tiles,
@@ -225,6 +402,8 @@ def main() -> None:
         levels_list=tuple(args.levels),
         magnification=args.magnification,
         seed=args.seed,
+        source=args.source,
+        train_steps=args.train_steps,
     )
     print(json.dumps(report, indent=2))
 
