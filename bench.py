@@ -70,6 +70,7 @@ ITERS = 5
 
 def main() -> None:
     from cellvit_tpu.models import CellViT256
+    from cellvit_tpu.models.fused import fused_forward
     from cellvit_tpu.ops.hv_postproc import instance_map_batch
 
     import numpy as np
@@ -95,7 +96,9 @@ def main() -> None:
 
     @jax.jit
     def forward(variables, x):
-        out = model.apply(variables, x, train=False)
+        # fused concat-free decoder towers (models/fused.py; output-parity
+        # tested vs model.apply in tests/test_fused.py)
+        out = fused_forward(model, variables, x)
         np_prob = jax.nn.softmax(out["nuclei_binary_map"].astype(jnp.float32), -1)
         inst = instance_map_batch(np_prob[..., 1], out["hv_map"].astype(jnp.float32))
         # in-graph scalar summary — forces real completion when fetched

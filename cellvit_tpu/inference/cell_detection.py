@@ -208,9 +208,23 @@ class CellSegmentationInference:
             self.variables = jax.device_put(
                 self.variables, replicate(self.mesh)
             )
-        self._forward = jax.jit(
-            lambda v, x: self.model.apply(v, x, train=False, retrieve_tokens=True)
-        )
+        from cellvit_tpu.models.cellvit import CellViT as _CellViT
+        from cellvit_tpu.models.fused import fused_forward
+
+        if type(self.model) is _CellViT:
+            # separate-tower HV model: concat-free fused decoder towers
+            # (models/fused.py — ~45 ms faster per batch-8 1024² step)
+            self._forward = jax.jit(
+                lambda v, x: fused_forward(
+                    self.model, v, x, retrieve_tokens=True
+                )
+            )
+        else:
+            self._forward = jax.jit(
+                lambda v, x: self.model.apply(
+                    v, x, train=False, retrieve_tokens=True
+                )
+            )
 
     # ----------------------------------------------------------- checks
 

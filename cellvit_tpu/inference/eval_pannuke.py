@@ -125,9 +125,18 @@ class InferenceCellViT:
 
             _, self.variables, _ = load_checkpoint(str(ckpt_path))
 
-        self._forward = jax.jit(
-            lambda v, x: self.model.apply(v, x, train=False)
-        )
+        from cellvit_tpu.models.cellvit import CellViT as _CellViT
+        from cellvit_tpu.models.fused import fused_forward
+
+        if type(self.model) is _CellViT:
+            # fused concat-free decoder towers (models/fused.py)
+            self._forward = jax.jit(
+                lambda v, x: fused_forward(self.model, v, x)
+            )
+        else:
+            self._forward = jax.jit(
+                lambda v, x: self.model.apply(v, x, train=False)
+            )
 
     # --------------------------------------------------------------- data
 

@@ -222,9 +222,13 @@ class CellViT(nn.Module):
             return z.reshape(z.shape[0], ht, wt, z.shape[-1])
         return z  # SAM skips are already (B, Ht, Wt, E)
 
-    def __call__(
-        self, x: jax.Array, *, train: bool = False, retrieve_tokens: bool = False
-    ) -> Dict[str, jax.Array]:
+    def encode_features(
+        self, x: jax.Array, *, train: bool = False
+    ) -> Tuple[Dict[str, jax.Array], Tuple[jax.Array, ...], jax.Array]:
+        """Encoder + shared skip projections (everything before the three
+        branch towers): returns (extra outputs, (p0..p3), z4). Used by the
+        fused inference decoder (`models/fused.py`) via
+        ``model.apply(variables, x, method="encode_features")``."""
         assert x.shape[1] % self.patch_size == 0 and x.shape[2] % self.patch_size == 0
         ht, wt = x.shape[1] // self.patch_size, x.shape[2] // self.patch_size
 
@@ -250,6 +254,12 @@ class CellViT(nn.Module):
         p3 = z3
         for blk in self.decoder3:
             p3 = blk(p3, train=train)
+        return out, (p0, p1, p2, p3), z4
+
+    def __call__(
+        self, x: jax.Array, *, train: bool = False, retrieve_tokens: bool = False
+    ) -> Dict[str, jax.Array]:
+        out, (p0, p1, p2, p3), z4 = self.encode_features(x, train=train)
 
         nb = self.nuclei_binary_map_decoder(p0, p1, p2, p3, z4, train=train)
         if self.regression_loss:
