@@ -247,8 +247,13 @@ def test_resolve_sweep_dir_prefers_newest(tmp_path):
 def test_bayes_method_warns_and_falls_back():
     """`method: bayes` has no local optimizer; it must loudly degrade to
     random sampling (VERDICT r2 weak #8; divergence listed in PARITY.md)."""
+    import warnings as _warnings
+
     from cellvit_tpu.train.sweeper import enumerate_configs
 
+    # another test may have tripped the same warning earlier in the session;
+    # the default "once per location" filter would then swallow it here
+    _warnings.resetwarnings()
     with pytest.warns(UserWarning, match="bayes"):
         combos = enumerate_configs(
             {"method": "bayes", "run_cap": 3},
