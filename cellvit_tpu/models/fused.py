@@ -79,89 +79,6 @@ _STAGES = (
 )
 
 
-# ---- space-to-depth d0 stage ----------------------------------------------
-# The d0 convs (64 channels at 1024²) measure ~45 TF/s — the 128-lane MXU
-# runs ≤half-filled and XLA's spatial tiling pays for the huge extent. In
-# space-to-depth form the same math is a 2×2-kernel conv at 512² with 4×
-# the channels: 1.78× the FLOPs at the ~150 TF/s rate the 256-channel
-# stages measure — net ~2× faster. Exact (zero taps add exact zeros).
-
-
-def _s2d(x: jnp.ndarray) -> jnp.ndarray:
-    """Pad 1px (the original SAME padding) then 2×2 space-to-depth;
-    (B, H, W, C) → (B, H/2+1, W/2+1, 4C), channel layout (p, q, c)."""
-    b, h, w, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return (
-        xp.reshape(b, h // 2 + 1, 2, w // 2 + 1, 2, c)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(b, h // 2 + 1, w // 2 + 1, 4 * c)
-    )
-
-
-def _d2s(y: jnp.ndarray, f: int) -> jnp.ndarray:
-    """Inverse: (B, H/2, W/2, 4F) with (s, t, f) channel layout → (B, H, W, F)."""
-    b, h2, w2, _ = y.shape
-    return (
-        y.reshape(b, h2, w2, 2, 2, f)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(b, 2 * h2, 2 * w2, f)
-    )
-
-
-def _s2d_kernel(k3: jnp.ndarray) -> jnp.ndarray:
-    """3×3 conv kernel (3,3,C,F) → its 2×2 space-to-depth form (2,2,4C,4F).
-
-    Output sub-position (s,t) reading input sub-position (p,q) at block
-    offset (u,v) corresponds to the original tap (dy,dx) = (2u+p−s, 2v+q−t);
-    taps outside [0,3) are zero."""
-    c, f = k3.shape[2], k3.shape[3]
-    k2 = jnp.zeros((2, 2, 4 * c, 4 * f), k3.dtype)
-    for s in range(2):
-        for t in range(2):
-            for u in range(2):
-                for v in range(2):
-                    for p in range(2):
-                        for q in range(2):
-                            dy, dx = 2 * u + p - s, 2 * v + q - t
-                            if 0 <= dy <= 2 and 0 <= dx <= 2:
-                                k2 = k2.at[
-                                    u, v,
-                                    (p * 2 + q) * c : (p * 2 + q + 1) * c,
-                                    (s * 2 + t) * f : (s * 2 + t + 1) * f,
-                                ].set(k3[dy, dx])
-    return k2
-
-
-def _conv_s2d(x: jnp.ndarray, k2: jnp.ndarray, dtype) -> jnp.ndarray:
-    """2×2 VALID conv on an s2d tensor ((H/2+1)² → (H/2)²)."""
-    return jax.lax.conv_general_dilated(
-        x.astype(dtype),
-        k2.astype(dtype),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=dtype,
-    )
-
-
-def _s2d_reframe(y: jnp.ndarray, f: int) -> jnp.ndarray:
-    """Re-frame a conv output ((B, H/2, W/2, 4F), layout (s,t,f), block i =
-    rows (2i, 2i+1)) into the padded input frame ((B, H/2+1, W/2+1, 4F),
-    layout (p,q,f), block i = rows (2i−1, 2i)) so the next s2d conv can run
-    without leaving s2d space: in[i,j,(p,q)] = out[i+p−1, j+q−1, (1−p,1−q)]
-    (out-of-range blocks are the zero padding of the original SAME conv)."""
-    b, h2, w2, _ = y.shape
-    parts = []
-    for p in range(2):
-        for q in range(2):
-            s, t = 1 - p, 1 - q
-            blk = y[:, :, :, (s * 2 + t) * f : (s * 2 + t + 1) * f]
-            padded = jnp.pad(blk, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            parts.append(padded[:, p : p + h2 + 1, q : q + w2 + 1, :])
-    return jnp.concatenate(parts, axis=-1)
-
-
 def fused_towers(
     params: Dict,
     batch_stats: Dict,
@@ -181,7 +98,7 @@ def fused_towers(
         )
         for br in branches
     ]
-    for skip_i, prefix, n_convs, up_name in _STAGES[:3]:
+    for skip_i, prefix, n_convs, up_name in _STAGES:
         ps = p[skip_i].astype(dtype)
         cp = ps.shape[-1]
         # conv1: fold BN, split kernel at the concat boundary, merge the
@@ -207,32 +124,18 @@ def fused_towers(
                     batch_stats[br][f"{prefix}_{ci}"],
                 )
                 h = jax.nn.relu(_conv(h, kc, dtype) + bc.astype(dtype))
-            xs[t] = _conv_t2x2(
-                h,
-                params[br][up_name]["kernel"],
-                params[br][up_name]["bias"],
-                dtype,
-            )
-
-    # d0 stage in space-to-depth form (full-lane 4C→4F convs at H/2)
-    ps2 = _s2d(p[0].astype(dtype))
-    cp = p[0].shape[-1]
-    for t, br in enumerate(branches):
-        k1, b1 = _folded_conv(
-            params[br]["d0_convs_0"], batch_stats[br]["d0_convs_0"]
-        )
-        f = k1.shape[-1]
-        h = _conv_s2d(ps2, _s2d_kernel(k1[:, :, :cp, :]), dtype)
-        h = h + _conv_s2d(_s2d(xs[t]), _s2d_kernel(k1[:, :, cp:, :]), dtype)
-        h = jax.nn.relu(h + jnp.tile(b1, 4).astype(dtype))
-        k2, b2 = _folded_conv(
-            params[br]["d0_convs_1"], batch_stats[br]["d0_convs_1"]
-        )
-        h = _conv_s2d(_s2d_reframe(h, f), _s2d_kernel(k2), dtype)
-        h = jax.nn.relu(h + jnp.tile(b2, 4).astype(dtype))
-        h = _d2s(h, f)
-        hd = params[br]["header"]
-        xs[t] = _conv(h, hd["kernel"], dtype) + hd["bias"].astype(dtype)
+            if up_name is not None:
+                xs[t] = _conv_t2x2(
+                    h,
+                    params[br][up_name]["kernel"],
+                    params[br][up_name]["bias"],
+                    dtype,
+                )
+            else:
+                hd = params[br]["header"]
+                xs[t] = _conv(h, hd["kernel"], dtype) + hd["bias"].astype(
+                    dtype
+                )
     return xs
 
 
