@@ -175,8 +175,15 @@ def _flash_kernel_relpos(
         k = k_ref[0, pl.ds(i * grid_w, grid_w), :]
         v = v_ref[0, pl.ds(i * grid_w, grid_w), :]
         logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        # key block i covers grid row i: bias = Bh[:, i] ⊕ Bw
-        logits = logits + bh[:, i][:, None] + bw
+        # key block i covers grid row i: bias = Bh[:, i] ⊕ Bw. Select the
+        # column with an iota one-hot — `bh[:, i]` is a dynamic_slice on a
+        # kernel VALUE, which Mosaic cannot lower (it only ever compiled
+        # when n_kblocks == 1 unrolled the loop; at 1024² it faults)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, bh.shape, 1) == i
+        ).astype(jnp.float32)
+        bhi = jnp.sum(bh * onehot, axis=1, keepdims=True)
+        logits = logits + bhi + bw
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(logits - m_new)
@@ -217,7 +224,12 @@ def _flash_bwd_dq_kernel_relpos(
         k = k_ref[0, pl.ds(i * grid_w, grid_w), :]
         v = v_ref[0, pl.ds(i * grid_w, grid_w), :]
         logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        logits = logits + bh[:, i][:, None] + bw
+        # iota one-hot column select (value dynamic_slice doesn't lower)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (tq, gh), 1) == i
+        ).astype(jnp.float32)
+        bhi = jnp.sum(bh * onehot, axis=1, keepdims=True)
+        logits = logits + bhi + bw
         p = jnp.exp(logits - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
@@ -225,9 +237,6 @@ def _flash_bwd_dq_kernel_relpos(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         ) * scale
         row = jnp.sum(ds, axis=-1, keepdims=True)  # (TQ, 1)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (tq, gh), 1) == i
-        ).astype(jnp.float32)
         dbh = dbh + row * onehot
         dbw = dbw + ds
         return dq, dbh, dbw
