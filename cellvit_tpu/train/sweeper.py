@@ -4,8 +4,10 @@ The reference delegates sweeps to wandb (`base_experiment.py:296-352` +
 run_cellvit.py --sweep/--agent). wandb is optional here, so this module
 provides a framework-owned executor with the same config schema: a `sweep`
 block (method/name/metric/run_cap, validated by `train.validator`) and a
-`parameters` block of dotted config paths with `values` lists (grid/random)
-or `min`/`max` ranges (random). Results land in <log_dir>/sweep_results.json
+`parameters` block of dotted config paths with `values` lists (grid/random/
+bayes) or `min`/`max` ranges (random/bayes). `method: bayes` runs a local
+TPE optimizer (`train/tpe.py`) that proposes each run at claim time from
+the results finished so far. Results land in <log_dir>/sweep_results.json
 with the best run by the sweep metric.
 
 Agent mode (reference run_cellvit.py:46-82 wandb.agent): `--sweep` creates a
@@ -23,7 +25,6 @@ import json
 import os
 import random as pyrandom
 import time
-import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -31,17 +32,29 @@ from cellvit_tpu.train.experiment import flatten_dict, unflatten_dict
 from cellvit_tpu.train.validator import validate_sweep_config
 
 
-def enumerate_configs(sweep_cfg: Dict, parameters: Dict, seed: int = 0) -> List[Dict]:
-    """Sweep spec → list of flattened {param_path: value} assignments."""
+def param_specs(parameters: Dict) -> Dict[str, Dict]:
+    """Group trailing values/min/max/value/distribution leaves back onto
+    their dotted parameter path."""
+    params: Dict[str, Dict] = {}
+    for key, val in flatten_dict(parameters).items():
+        path, leaf = key.rsplit(".", 1)
+        if leaf in ("values", "min", "max", "value", "distribution"):
+            params.setdefault(path, {})[leaf] = val
+    return params
+
+
+def enumerate_configs(
+    sweep_cfg: Dict, parameters: Dict, seed: int = 0
+) -> List[Optional[Dict]]:
+    """Sweep spec → list of flattened {param_path: value} assignments.
+
+    For ``method: bayes`` the assignments are adaptive: this returns
+    ``run_cap`` placeholders (``None``) and `run_agent` proposes each one at
+    claim time with the TPE optimizer (`train/tpe.py`), conditioned on every
+    result file present in the sweep at that moment."""
     method = sweep_cfg["method"]
     run_cap = sweep_cfg.get("run_cap")
-    flat = flatten_dict(parameters)
-    # group trailing min/max/values back onto their parameter path
-    params: Dict[str, Dict] = {}
-    for key, val in flat.items():
-        path, leaf = key.rsplit(".", 1)
-        if leaf in ("values", "min", "max", "value"):
-            params.setdefault(path, {})[leaf] = val
+    params = param_specs(parameters)
 
     rng = pyrandom.Random(seed)
     if method == "grid":
@@ -60,13 +73,9 @@ def enumerate_configs(sweep_cfg: Dict, parameters: Dict, seed: int = 0) -> List[
             combos = combos[:run_cap]
         return combos
 
-    # random / bayes (bayes falls back to random sampling locally)
     if method == "bayes":
-        warnings.warn(
-            "sweep.method 'bayes' has no local Bayesian optimizer; "
-            "falling back to random sampling (see docs/PARITY.md)",
-            stacklevel=2,
-        )
+        return [None] * (run_cap or 10)  # proposed at claim time (TPE)
+
     n = run_cap or 10
     combos = []
     for _ in range(n):
@@ -158,6 +167,34 @@ def resolve_sweep_dir(agent_id: str, base_config: Optional[Dict] = None) -> Path
     raise FileNotFoundError(f"no sweep found for agent id {agent_id!r}")
 
 
+def _propose_bayes(spec: Dict, runs_dir: Path, i: int) -> Dict:
+    """TPE proposal for run ``i``: condition on every finished result file,
+    persist the choice to ``run{i}.assignment.json`` so a reclaimed run
+    re-executes the same point instead of silently moving the search."""
+    from cellvit_tpu.train import tpe
+
+    persisted = runs_dir / f"run{i}.assignment.json"
+    if persisted.exists():
+        return json.loads(persisted.read_text())
+
+    metric_cfg = spec["sweep"].get("metric", {"name": "bPQ", "goal": "maximize"})
+    metric_name = metric_cfg.get("name", "bPQ")
+    sign = -1.0 if metric_cfg.get("goal", "maximize") == "maximize" else 1.0
+    observations = []
+    for f in sorted(runs_dir.glob("run*.result.json")):
+        rec = json.loads(f.read_text())
+        val = rec.get(metric_name)
+        if rec.get("assignment") is not None and val is not None:
+            observations.append((rec["assignment"], sign * float(val)))
+    params = param_specs(spec["base_config"].get("parameters", {}))
+    # seed by (run index, evidence size): deterministic per sweep state, and
+    # concurrent agents proposing without evidence don't all draw one point
+    rng = pyrandom.Random(7919 * (i + 1) + len(observations))
+    assignment = tpe.propose(params, observations, rng)
+    persisted.write_text(json.dumps(assignment))
+    return assignment
+
+
 def run_agent(
     sweep_dir: Path,
     experiment_class,
@@ -203,6 +240,8 @@ def run_agent(
             continue  # another agent owns this run
         with os.fdopen(fd, "w") as f:
             f.write(agent_name)
+        if assignment is None:  # bayes: propose at claim time from results so far
+            assignment = _propose_bayes(spec, runs_dir, i)
         cfg = unflatten_dict({**flatten_dict(base_config), **assignment})
         cfg.pop("sweep", None)
         cfg.pop("parameters", None)

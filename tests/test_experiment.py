@@ -244,23 +244,22 @@ def test_resolve_sweep_dir_prefers_newest(tmp_path):
     assert resolve_sweep_dir(str(d0), config) == d0  # explicit path wins
 
 
-def test_bayes_method_warns_and_falls_back():
-    """`method: bayes` has no local optimizer; it must loudly degrade to
-    random sampling (VERDICT r2 weak #8; divergence listed in PARITY.md)."""
+def test_bayes_method_enumerates_adaptive_placeholders():
+    """`method: bayes` runs the local TPE optimizer: enumeration returns
+    claim-time placeholders (one per run_cap), no fallback warning
+    (VERDICT r2 weak #8 resolved; see tests/test_tpe.py for the optimizer)."""
     import warnings as _warnings
 
     from cellvit_tpu.train.sweeper import enumerate_configs
 
-    # another test may have tripped the same warning earlier in the session;
-    # the default "once per location" filter would then swallow it here
-    _warnings.resetwarnings()
-    with pytest.warns(UserWarning, match="bayes"):
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
         combos = enumerate_configs(
             {"method": "bayes", "run_cap": 3},
             {"a.b": {"min": 0.0, "max": 1.0}},
             seed=0,
         )
-    assert len(combos) == 3
+    assert combos == [None, None, None]
 
 
 def test_sweep_orphaned_claims_reported_and_reclaimable(tmp_path):
