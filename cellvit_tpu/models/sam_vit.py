@@ -116,10 +116,6 @@ class SamAttention(nn.Module):
             out = out.reshape(b, h, w, c)
             return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
-        attn = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale  # (B, nh, N, N)
-
         if self.use_rel_pos:
             n_table = 2 * self.rel_pos_dim - 1
             rel_pos_h = self.param(
@@ -131,12 +127,39 @@ class SamAttention(nn.Module):
             rh = gather_rel_pos(rel_pos_h, h).astype(jnp.float32)  # (h, h, hd)
             rw = gather_rel_pos(rel_pos_w, w).astype(jnp.float32)  # (w, w, hd)
             rq = q.reshape(b, h, w, nh, hd).astype(jnp.float32)
-            # bias[b,n,(i,j),(k,l)] = q·Rh[i,k] + q·Rw[j,l]  (mvitv2 decomposition)
-            bias_h = jnp.einsum("bijnd,ikd->bnijk", rq, rh)  # (B, nh, h, w, h)
-            bias_w = jnp.einsum("bijnd,jld->bnijl", rq, rw)  # (B, nh, h, w, w)
-            attn = attn.reshape(b, nh, h, w, h, w)
-            attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
-            attn = attn.reshape(b, nh, h * w, h * w)
+            # bias[b,n,(i,j),(k,l)] = q·Rh[i,k] + q·Rw[j,l]  (mvitv2
+            # decomposition) — folded into the q·kᵀ matmul by augmenting
+            # q with [q·scale | Bh(q,·) | Bw(q,·)] against
+            # k' = [k | 1{ki=·} | 1{kj=·}], so the N² bias tensor is never
+            # materialized (it cost 9.9 ms/block of the 22.7 ms windowed
+            # SAM block at 8×1024² — see flash_attention_relpos for the
+            # same trick on the global path)
+            bias_h = jnp.einsum("bijnd,ikd->bijnk", rq, rh)  # (B, h, w, nh, h)
+            bias_w = jnp.einsum("bijnd,jld->bijnl", rq, rw)  # (B, h, w, nh, w)
+            n = h * w
+            ii = jnp.arange(n, dtype=jnp.int32) // w
+            jj = jnp.arange(n, dtype=jnp.int32) % w
+            onehot = jnp.concatenate(
+                [jax.nn.one_hot(ii, h, dtype=k.dtype),
+                 jax.nn.one_hot(jj, w, dtype=k.dtype)], axis=-1
+            )  # (N, h+w)
+            q_aug = jnp.concatenate(
+                [q * scale,
+                 bias_h.reshape(b, n, nh, h).astype(q.dtype),
+                 bias_w.reshape(b, n, nh, w).astype(q.dtype)], axis=-1
+            )
+            k_aug = jnp.concatenate(
+                [k, jnp.broadcast_to(onehot[None, :, None, :], (b, n, nh, h + w))],
+                axis=-1,
+            )
+            attn = jnp.einsum(
+                "bqhd,bkhd->bhqk", q_aug, k_aug,
+                preferred_element_type=jnp.float32,
+            )  # (B, nh, N, N) — logits·scale + bias, computed on the MXU
+        else:
+            attn = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale  # (B, nh, N, N)
 
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum(

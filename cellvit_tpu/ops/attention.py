@@ -4,15 +4,10 @@ The 4096-token attentions (SAM global blocks at 1024² tiles,
 `image_encoder.py:24-125`; ViT-256 at 1024² WSI tiles) materialize
 O(N²·heads) logits in XLA — ~1.6 GB per layer per 4-batch at 1024² — and
 become HBM-bound. This kernel computes attention with the online-softmax
-tiling (never materializing logits) and folds in SAM's decomposed relative
-position bias (`add_decomposed_rel_pos`, image_encoder.py:354-392):
-
-    bias[q, k] = Bh[q, ki(k)] + Bw[q, kj(k)],
-    Bh[q, i] = Σ_d q_d · RelH[qi(q), i, d]   (precomputed outside, small)
-
-With the key-block size equal to the token-grid width W, ki is constant
-per key block and kj = 0..W-1 — the bias tile is a broadcast add, no
-gathers inside the kernel.
+tiling (never materializing logits). SAM's decomposed relative position
+bias (`add_decomposed_rel_pos`, image_encoder.py:354-392) is folded into
+the q·kᵀ matmul itself by lane augmentation (`flash_attention_relpos`),
+so the same kernel serves both the plain and the rel-pos path.
 
 Numerics: f32 accumulation and softmax state; matmuls take the input dtype
 (bf16 in our encoders).
@@ -26,7 +21,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
@@ -40,9 +34,13 @@ def _flash_kernel(
 
     Matmul inputs stay in the storage dtype (bf16) with fp32 accumulation —
     the MXU's native mode; upcasting inputs to fp32 would run the systolic
-    array at a fraction of peak (measured 19→70+ TF/s on v5e)."""
-    q = q_ref[0]  # (TQ, D)
-    tq, d = q.shape
+    array at a fraction of peak (measured 19→70+ TF/s on v5e).
+
+    q/k may be wider than v (rel-pos augmentation, see
+    `flash_attention_relpos`): the output takes v's width."""
+    q = q_ref[0]  # (TQ, DQK)
+    tq = q.shape[0]
+    dv = v_ref.shape[-1]
     n_kblocks = k_ref.shape[1] // block_k
     # the kernel is VPU-bound on the softmax, not MXU-bound on the dots
     # (measured 9.25 ms vs a 1.05 ms matmul roofline at 8×6×4097×64):
@@ -80,7 +78,7 @@ def _flash_kernel(
 
         return body
 
-    acc0 = jnp.zeros((tq, d), jnp.float32)
+    acc0 = jnp.zeros((tq, dv), jnp.float32)
     m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((tq, 1), jnp.float32)
     carry = jax.lax.fori_loop(0, n_full, make_body(False), (acc0, m0, l0))
@@ -128,9 +126,10 @@ def _flash_bwd_dkv_kernel(
     """dk/dv for one k block: dv = Σ_q pᵀ·do; dk = Σ_q dsᵀ·q·scale.
     Padded queries carry do = 0 and Δ = 0, so they contribute nothing.
     Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
-    k = k_ref[0]  # (TK, D)
-    v = v_ref[0]
+    k = k_ref[0]  # (TK, DQK)
+    v = v_ref[0]  # (TK, DV)
     tk, d = k.shape
+    dv_w = v.shape[-1]
     n_qblocks = q_ref.shape[1] // block_q
     j = pl.program_id(1)
     k_idx = j * tk + jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
@@ -152,145 +151,10 @@ def _flash_bwd_dkv_kernel(
         dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
         return dk, dv
 
-    zero = jnp.zeros((tk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n_qblocks, body, (zero, zero))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-
-def _flash_kernel_relpos(
-    q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, lse_ref,
-    *, scale: float, grid_w: int
-):
-    """Rel-pos variant: key blocks = one token-grid row (width W).
-    Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
-    q = q_ref[0]  # (TQ, D)
-    tq, d = q.shape
-    n_kblocks = k_ref.shape[1] // grid_w
-    bh = bh_ref[0].astype(jnp.float32)  # (TQ, Hk)
-    bw = bw_ref[0].astype(jnp.float32)  # (TQ, W)
-
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * grid_w, grid_w), :]
-        v = v_ref[0, pl.ds(i * grid_w, grid_w), :]
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        # key block i covers grid row i: bias = Bh[:, i] ⊕ Bw. Select the
-        # column with an iota one-hot — `bh[:, i]` is a dynamic_slice on a
-        # kernel VALUE, which Mosaic cannot lower (it only ever compiled
-        # when n_kblocks == 1 unrolled the loop; at 1024² it faults)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, bh.shape, 1) == i
-        ).astype(jnp.float32)
-        bhi = jnp.sum(bh * onehot, axis=1, keepdims=True)
-        logits = logits + bhi + bw
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((tq, d), jnp.float32)
-    m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((tq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_kblocks, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
-
-
-def _flash_bwd_dq_kernel_relpos(
-    q_ref, k_ref, v_ref, bh_ref, bw_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dbh_ref, dbw_ref, *, scale: float, grid_w: int,
-):
-    """dq + bias gradients for one q block. dbias = ds (no scale): the
-    scale multiplies only the q·kᵀ term in the forward logits.
-    Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
-    q = q_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0]
-    delta = delta_ref[0]
-    bh = bh_ref[0].astype(jnp.float32)
-    bw = bw_ref[0].astype(jnp.float32)
-    tq, d = q.shape
-    gh = bh.shape[1]
-    n_kblocks = k_ref.shape[1] // grid_w
-
-    def body(i, carry):
-        dq, dbh, dbw = carry
-        k = k_ref[0, pl.ds(i * grid_w, grid_w), :]
-        v = v_ref[0, pl.ds(i * grid_w, grid_w), :]
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        # iota one-hot column select (value dynamic_slice doesn't lower)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (tq, gh), 1) == i
-        ).astype(jnp.float32)
-        bhi = jnp.sum(bh * onehot, axis=1, keepdims=True)
-        logits = logits + bhi + bw
-        p = jnp.exp(logits - lse)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        dq = dq + jnp.dot(
-            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
-        ) * scale
-        row = jnp.sum(ds, axis=-1, keepdims=True)  # (TQ, 1)
-        dbh = dbh + row * onehot
-        dbw = dbw + ds
-        return dq, dbh, dbw
-
-    z = (
-        jnp.zeros((tq, d), jnp.float32),
-        jnp.zeros((tq, gh), jnp.float32),
-        jnp.zeros((tq, grid_w), jnp.float32),
+    dk, dv = jax.lax.fori_loop(
+        0, n_qblocks, body,
+        (jnp.zeros((tk, d), jnp.float32), jnp.zeros((tk, dv_w), jnp.float32)),
     )
-    dq, dbh, dbw = jax.lax.fori_loop(0, n_kblocks, body, z)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dbh_ref[0] = dbh
-    dbw_ref[0] = dbw
-
-
-def _flash_bwd_dkv_kernel_relpos(
-    q_ref, k_ref, v_ref, bh_ref, bw_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, *, scale: float, block_q: int,
-):
-    """dk/dv for one key block (= token-grid row j = program_id(1)).
-    Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
-    k = k_ref[0]  # (W, D)
-    v = v_ref[0]
-    tk, d = k.shape
-    n_qblocks = q_ref.shape[1] // block_q
-    j = pl.program_id(1)
-    gh = bh_ref.shape[2]
-
-    def body(i, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :]
-        do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
-        bh = bh_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        bw = bw_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        # select bias column j without dynamic lane indexing
-        sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, gh), 1) == j
-        ).astype(jnp.float32)
-        bh_col = jnp.sum(bh * sel, axis=1, keepdims=True)
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        logits = logits + bh_col + bw
-        p = jnp.exp(logits - lse)
-        dv = dv + jnp.dot(
-            p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
-        )
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta)).astype(q.dtype)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
-        return dk, dv
-
-    zero = jnp.zeros((tk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n_qblocks, body, (zero, zero))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -305,9 +169,9 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> Tuple[jnp.ndarray, int]
     return jnp.pad(x, pad), n
 
 
-def _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, interpret):
+def _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale, interpret):
     bh, n_q, d = qf.shape
-    scale = d**-0.5
+    dv = vf.shape[-1]
     out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, block_k=block_k, n_real=n_real
@@ -316,14 +180,14 @@ def _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, interpret):
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, kf.shape[1], d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, kf.shape[1], d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, kf.shape[1], dv), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, n_q, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, n_q, dv), qf.dtype),
             jax.ShapeDtypeStruct((bh, n_q, 1), jnp.float32),
         ],
         interpret=interpret,
@@ -331,25 +195,25 @@ def _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, interpret):
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_core(qf, kf, vf, block_q, block_k, n_real, interpret):
-    out, _ = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_core(qf, kf, vf, block_q, block_k, n_real, scale, interpret):
+    out, _ = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale, interpret)
     return out
 
 
-def _flash_core_fwd(qf, kf, vf, block_q, block_k, n_real, interpret):
-    out, lse = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, interpret)
+def _flash_core_fwd(qf, kf, vf, block_q, block_k, n_real, scale, interpret):
+    out, lse = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale, interpret)
     return out, (qf, kf, vf, out, lse)
 
 
-def _flash_core_bwd(block_q, block_k, n_real, interpret, res, do):
+def _flash_core_bwd(block_q, block_k, n_real, scale, interpret, res, do):
     """Standard flash backward: recompute p per tile from (q, k, lse);
     Δ = rowsum(do ∘ o); ds = p ∘ (do·vᵀ − Δ)·scale; dq/dk/dv via two
     kernels (one writes q blocks, one writes k blocks)."""
     qf, kf, vf, out, lse = res
     bh, n_q, d = qf.shape
     n_k = kf.shape[1]
-    scale = d**-0.5
+    dv_w = vf.shape[-1]
     do = do.astype(qf.dtype)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
 
@@ -361,8 +225,8 @@ def _flash_core_bwd(block_q, block_k, n_real, interpret, res, do):
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, n_k, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n_k, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n_k, dv_w), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, dv_w), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
         ],
@@ -379,18 +243,18 @@ def _flash_core_bwd(block_q, block_k, n_real, interpret, res, do):
         in_specs=[
             pl.BlockSpec((1, n_q, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, n_q, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_k, dv_w), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n_q, dv_w), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, n_q, 1), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, n_q, 1), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, dv_w), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n_k, d), kf.dtype),
-            jax.ShapeDtypeStruct((bh, n_k, d), vf.dtype),
+            jax.ShapeDtypeStruct((bh, n_k, dv_w), vf.dtype),
         ],
         interpret=interpret,
     )(qf, kf, vf, do, lse, delta)
@@ -400,139 +264,44 @@ def _flash_core_bwd(block_q, block_k, n_real, interpret, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "scale", "interpret")
+)
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     block_q: int = 512,
     block_k: int = 512,
+    scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Softmax(q·kᵀ/√d)·v over (B, N, H, D) without materializing logits.
+    """Softmax(q·kᵀ·scale)·v over (B, N, H, D) without materializing logits.
 
     N may be ragged (e.g. 4097 = CLS + 64²); it is zero-padded to the block
     size and padded keys are masked. Differentiable: a custom VJP runs the
     flash backward in Pallas (never materializing logits either), so the
     kernel is usable in 1024² training.
+
+    `scale` defaults to q.shape[-1]**-0.5. q/k may be wider than v
+    (`flash_attention_relpos` folds the rel-pos bias into extra q/k lanes
+    with scale=1); the output takes v's width.
     """
     b, n, h, d = q.shape
+    dv = v.shape[-1]
+    if scale is None:
+        scale = d**-0.5
 
     def reshape(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], x.shape[-1])
 
     qf, kf, vf = reshape(q), reshape(k), reshape(v)
     qf, _ = _pad_to(qf, 1, block_q)
     kf, n_real = _pad_to(kf, 1, block_k)
     vf, _ = _pad_to(vf, 1, block_k)
 
-    out = _flash_core(qf, kf, vf, block_q, block_k, n_real, interpret)
-    return out[:, :n, :].reshape(b, h, n, d).transpose(0, 2, 1, 3)
-
-
-def _relpos_fwd_call(qf, kf, vf, bh, bw, grid_w, block_q, interpret):
-    bhn, n, d = qf.shape
-    gh = bh.shape[2]
-    scale = d**-0.5
-    out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel_relpos, scale=scale, grid_w=grid_w),
-        grid=(bhn, n // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, block_q, gh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, grid_w), lambda i, j: (i, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bhn, n, d), qf.dtype),
-            jax.ShapeDtypeStruct((bhn, n, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf, bh, bw)
-    return out, lse
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _relpos_core(qf, kf, vf, bh, bw, grid_w, block_q, interpret):
-    out, _ = _relpos_fwd_call(qf, kf, vf, bh, bw, grid_w, block_q, interpret)
-    return out
-
-
-def _relpos_core_fwd(qf, kf, vf, bh, bw, grid_w, block_q, interpret):
-    out, lse = _relpos_fwd_call(qf, kf, vf, bh, bw, grid_w, block_q, interpret)
-    return out, (qf, kf, vf, bh, bw, out, lse)
-
-
-def _relpos_core_bwd(grid_w, block_q, interpret, res, do):
-    qf, kf, vf, bh, bw, out, lse = res
-    bhn, n, d = qf.shape
-    gh = bh.shape[2]
-    scale = d**-0.5
-    do = do.astype(qf.dtype)
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
-
-    dq, dbh, dbw = pl.pallas_call(
-        functools.partial(
-            _flash_bwd_dq_kernel_relpos, scale=scale, grid_w=grid_w
-        ),
-        grid=(bhn, n // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, block_q, gh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, grid_w), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, gh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, grid_w), lambda i, j: (i, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bhn, n, d), qf.dtype),
-            jax.ShapeDtypeStruct((bhn, n, gh), jnp.float32),
-            jax.ShapeDtypeStruct((bhn, n, grid_w), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf, bh, bw, do, lse, delta)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _flash_bwd_dkv_kernel_relpos, scale=scale, block_q=block_q
-        ),
-        grid=(bhn, n // grid_w),
-        in_specs=[
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, grid_w, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, grid_w, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, n, gh), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, grid_w), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, grid_w, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, grid_w, d), lambda i, j: (i, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bhn, n, d), kf.dtype),
-            jax.ShapeDtypeStruct((bhn, n, d), vf.dtype),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf, bh, bw, do, lse, delta)
-    return dq, dk, dv, dbh.astype(bh.dtype), dbw.astype(bw.dtype)
-
-
-_relpos_core.defvjp(_relpos_core_fwd, _relpos_core_bwd)
+    out = _flash_core(qf, kf, vf, block_q, block_k, n_real, scale, interpret)
+    return out[:, :n, :].reshape(b, h, n, dv).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
@@ -543,40 +312,62 @@ def flash_attention_relpos(
     rel_pos_h: jnp.ndarray,
     rel_pos_w: jnp.ndarray,
     grid_hw: Tuple[int, int],
-    block_q: int = 256,
+    block_q: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """SAM global attention with decomposed rel-pos bias.
+    """SAM global attention with decomposed rel-pos bias
+    (`add_decomposed_rel_pos`, image_encoder.py:354-392).
 
-    Differentiable: the Pallas core carries a custom VJP producing
-    (dq, dk, dv, dBh, dBw); the bias einsums below sit outside the custom
-    boundary, so autodiff routes dBh/dBw back into q and the rel-pos
-    tables automatically.
+    The bias is folded INTO the q·kᵀ matmul by lane augmentation:
+
+        q' = [q·scale | Bh(q,·) | Bw(q,·)],   Bh[q,i] = Σ_d q_d·RelH[qi(q),i,d]
+        k' = [k       | 1{ki(k)=·} | 1{kj(k)=·}]
+
+    so q'·k'ᵀ = q·kᵀ·scale + Bh[q,ki(k)] + Bw[q,kj(k)] exactly — the MXU
+    adds the bias for free and the plain flash kernel (512-wide key
+    blocks, storage-dtype exp) runs unchanged with scale=1. A dedicated
+    rel-pos kernel with key blocks = one grid row (64 wide) measured
+    42 ms/block extra on SAM-B vs ~18 ms for this formulation: half the
+    VPU/MXU lanes sat idle and the exp ran in fp32.
+
+    Differentiable end-to-end: the flash custom VJP returns dq'/dk'/dv and
+    autodiff routes the Bh/Bw slices back through the einsums into q and
+    the rel-pos tables; the indicator lanes of k' are constants.
 
     Args:
         q/k/v: (B, N, H, D) with N = grid_h · grid_w tokens in row-major
             grid order.
-        rel_pos_h/w: interpolated tables (2·side-1, D) — pass through
-            `cellvit_tpu.models.sam_vit.gather_rel_pos` upstream; here they
-            arrive as the gathered (side, side, D) form.
+        rel_pos_h/w: gathered tables (side, side, D) from
+            `cellvit_tpu.models.sam_vit.gather_rel_pos`.
     """
     gh, gw = grid_hw
     b, n, h, d = q.shape
     assert n == gh * gw
-    assert n % block_q == 0, "grid tokens must tile block_q"
+    scale = d**-0.5
 
-    # Bh[b,h,q,i] = Σ_d q·RelH[qi(q), i, d];  Bw[b,h,q,j] similarly
+    # Bh[b,q,h,i] = Σ_d q·RelH[qi(q), i, d];  Bw[b,q,h,j] similarly (small)
     rq = q.reshape(b, gh, gw, h, d)
-    bh = jnp.einsum("bijnd,ikd->bnijk", rq.astype(jnp.float32),
+    bh = jnp.einsum("bijnd,ikd->bijnk", rq.astype(jnp.float32),
                     rel_pos_h.astype(jnp.float32))
-    bw = jnp.einsum("bijnd,jld->bnijl", rq.astype(jnp.float32),
+    bw = jnp.einsum("bijnd,jld->bijnl", rq.astype(jnp.float32),
                     rel_pos_w.astype(jnp.float32))
-    bh = bh.reshape(b * h, n, gh)
-    bw = bw.reshape(b * h, n, gw)
+    bh = bh.reshape(b, n, h, gh).astype(q.dtype)
+    bw = bw.reshape(b, n, h, gw).astype(q.dtype)
 
-    def reshape(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-
-    qf, kf, vf = reshape(q), reshape(k), reshape(v)
-    out = _relpos_core(qf, kf, vf, bh, bw, gw, block_q, interpret)
-    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    # per-key one-hot row/col indicators (constants, shared over B and H)
+    ii = jnp.arange(n, dtype=jnp.int32) // gw
+    jj = jnp.arange(n, dtype=jnp.int32) % gw
+    onehot = jnp.concatenate(
+        [jax.nn.one_hot(ii, gh, dtype=k.dtype),
+         jax.nn.one_hot(jj, gw, dtype=k.dtype)], axis=-1
+    )  # (N, gh+gw)
+    q_aug = jnp.concatenate([q * scale, bh, bw], axis=-1)
+    k_aug = jnp.concatenate(
+        [k, jnp.broadcast_to(onehot[None, :, None, :], (b, n, h, gh + gw))],
+        axis=-1,
+    )
+    bq = min(block_q, n)
+    return flash_attention(
+        q_aug, k_aug, v, block_q=bq, block_k=bq, scale=1.0,
+        interpret=interpret,
+    )
