@@ -85,7 +85,12 @@ def _conv2d_same(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
 
 
 def get_gradient_hv(hv: jnp.ndarray) -> jnp.ndarray:
-    """HoVer gradient maps of an (B, H, W, 2) HV tensor (size-5 kernels)."""
+    """HoVer gradient maps of an (B, H, W, 2) HV tensor (size-5 kernels).
+
+    Computed in fp32 regardless of input dtype: losses accumulate in fp32
+    even when the model runs bf16 (conv_general_dilated also requires
+    matching operand dtypes, so bf16 preds must be cast somewhere)."""
+    hv = hv.astype(jnp.float32)
     kh, kv = _hv_sobel_kernels(5)
     dh = _conv2d_same(hv[..., 0], kh)
     dv = _conv2d_same(hv[..., 1], kv)

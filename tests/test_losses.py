@@ -153,6 +153,21 @@ def test_msge_focus_masks_background(rng):
     assert float(losses.msge_loss_maps(hv_pred, hv_true, focus_all)) > 0.0
 
 
+def test_msge_accepts_bf16_predictions(rng):
+    """bf16 model preds vs fp32 GT must not crash the gradient conv
+    (conv_general_dilated requires matching dtypes — regression: the
+    frozen-encoder bf16 train step died here) and the loss stays fp32."""
+    hv_pred = jnp.asarray(
+        rng.standard_normal((1, 16, 16, 2), dtype=np.float32)
+    ).astype(jnp.bfloat16)
+    hv_true = jnp.asarray(rng.standard_normal((1, 16, 16, 2), dtype=np.float32))
+    focus = jnp.stack([jnp.zeros((1, 16, 16)), jnp.ones((1, 16, 16))], axis=-1)
+    v = losses.msge_loss_maps(hv_pred, hv_true, focus)
+    assert v.dtype == jnp.float32 and np.isfinite(float(v))
+    g = jax.grad(lambda p: losses.msge_loss_maps(p, hv_true, focus))(hv_pred)
+    assert g.dtype == jnp.bfloat16 and bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_focal_tversky_ranges(rng):
     logits = jnp.asarray(rng.standard_normal((2, 8, 8, 2), dtype=np.float32))
     target = jnp.asarray(rng.integers(0, 2, (2, 8, 8)))
