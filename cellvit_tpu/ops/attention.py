@@ -366,6 +366,11 @@ def flash_attention_relpos(
         [k, jnp.broadcast_to(onehot[None, :, None, :], (b, n, h, gh + gw))],
         axis=-1,
     )
+    # fp32 staging of the 192-lane augmented q/k overflows the 16 MB
+    # scoped-VMEM budget at N=4096 with 512-wide blocks (16.3 MB) — halve
+    # the block for fp32 callers (parity path; production runs bf16).
+    if q.dtype == jnp.float32:
+        block_q = min(block_q, 256)
     bq = min(block_q, n)
     return flash_attention(
         q_aug, k_aug, v, block_q=bq, block_k=bq, scale=1.0,
