@@ -206,3 +206,43 @@ class InferenceCellViTMoNuSeg(InferenceCellViT):
         out_path.write_text(json.dumps(results, indent=2))
         self.logger.info(json.dumps(results["dataset"], indent=2))
         return results
+
+
+def main() -> None:
+    """CLI mirroring the reference's MoNuSeg parser
+    (inference_cellvit_experiment_monuseg.py:975-1027)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        description="CellViT MoNuSeg inference",
+    )
+    parser.add_argument("--run_dir", type=str, required=True,
+                        help="Logging directory of a training run")
+    parser.add_argument("--dataset", type=str, required=True,
+                        help="MoNuSeg-format directory (images/ + labels/)")
+    parser.add_argument("--checkpoint_name", type=str,
+                        default="latest_checkpoint")
+    parser.add_argument("--gpu", type=int, default=0,
+                        help="Device index (CLI compatibility)")
+    parser.add_argument("--magnification", type=int, choices=(20, 40),
+                        default=40)
+    parser.add_argument("--patching", action="store_true",
+                        help="Tile to 256px patches and merge")
+    parser.add_argument("--overlap", type=int, default=64)
+    parser.add_argument("--batch_size", type=int, default=8)
+    args = parser.parse_args()
+
+    InferenceCellViTMoNuSeg(
+        args.run_dir,
+        args.dataset,
+        checkpoint_name=args.checkpoint_name,
+        magnification=args.magnification,
+        patching=args.patching,
+        overlap=args.overlap,
+        batch_size=args.batch_size,
+    ).run_inference()
+
+
+if __name__ == "__main__":
+    main()

@@ -345,3 +345,50 @@ class InferenceCellViT:
         self.logger.info(f"wrote {out_path}")
         self.logger.info(json.dumps(dataset_metrics, indent=2))
         return results
+
+
+def main() -> None:
+    """CLI mirroring the reference's `InferenceCellViTParser`
+    (inference_cellvit_experiment_pannuke.py:1206-1243); the evaluator
+    family (HV / StarDist / CPP) is picked from the run config's model."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        description="CellViT PanNuke patch inference for a run directory",
+    )
+    parser.add_argument("--run_dir", type=str, required=True,
+                        help="Logging directory of a training run")
+    parser.add_argument("--checkpoint_name", type=str,
+                        default="latest_checkpoint",
+                        help="Checkpoint name inside run_dir/checkpoints")
+    parser.add_argument("--gpu", type=int, default=0,
+                        help="Device index (CLI compatibility)")
+    parser.add_argument("--magnification", type=int, choices=(20, 40),
+                        default=40)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument(
+        "--family", type=str, choices=("hv", "stardist", "cpp"), default="hv",
+        help="Decoder family of the run (the reference splits these across "
+        "per-family inference scripts)",
+    )
+    args = parser.parse_args()
+
+    if args.family == "cpp":
+        from cellvit_tpu.inference.eval_stardist import InferenceCellViTCPP as cls
+    elif args.family == "stardist":
+        from cellvit_tpu.inference.eval_stardist import (
+            InferenceCellViTStarDist as cls,
+        )
+    else:
+        cls = InferenceCellViT
+    cls(
+        args.run_dir,
+        checkpoint_name=args.checkpoint_name,
+        magnification=args.magnification,
+        batch_size=args.batch_size,
+    ).run_patch_inference()
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,20 @@ def test_patch_inference_writes_results(e2e_run):
     }
 
 
+def test_patch_inference_cli_main(e2e_run, monkeypatch):
+    """`python -m cellvit_tpu.inference.eval_pannuke` surface (reference
+    runs eval via a CLI script — InferenceCellViTParser)."""
+    from cellvit_tpu.inference import eval_pannuke
+
+    _, run_dir, *_ = e2e_run
+    monkeypatch.setattr(
+        "sys.argv",
+        ["eval_pannuke", "--run_dir", str(run_dir), "--batch_size", "6"],
+    )
+    eval_pannuke.main()
+    assert (run_dir / "inference_results.json").exists()
+
+
 def test_resume_from_checkpoint(e2e_run, tmp_path):
     from cellvit_tpu.train.experiment import ExperimentCellVitPanNuke
 
