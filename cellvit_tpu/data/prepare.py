@@ -185,3 +185,34 @@ def prepare_monuseg(
             ),
             allow_pickle=True,
         )
+
+
+def main() -> None:
+    """CLI mirroring the reference's runnable prepare scripts
+    (`prepare_pannuke.py` / `prepare_monuseg.py` argparse surfaces)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        description="Convert original dataset downloads into the fold "
+        "layout consumed by cellvit_tpu.data.datasets.",
+    )
+    sub = parser.add_subparsers(dest="dataset", required=True)
+    pk = sub.add_parser("pannuke", description="PanNuke fold arrays → folds")
+    pk.add_argument("--input_path", type=str, required=True,
+                    help="Folder with fold{0,1,2}/images.npy etc.")
+    pk.add_argument("--output_path", type=str, required=True)
+    pk.add_argument("--folds", type=int, nargs="+", default=[0, 1, 2])
+    mo = sub.add_parser("monuseg", description="MoNuSeg tif+xml → png+npy")
+    mo.add_argument("--input_path", type=str, required=True,
+                    help="Folder with 'Tissue Images/' and 'Annotations/'")
+    mo.add_argument("--output_path", type=str, required=True)
+    args = parser.parse_args()
+    if args.dataset == "pannuke":
+        prepare_pannuke(args.input_path, args.output_path, tuple(args.folds))
+    else:
+        prepare_monuseg(args.input_path, args.output_path)
+
+
+if __name__ == "__main__":
+    main()
