@@ -45,14 +45,15 @@ PITFALL"):
   cannot beat it because inter-op HBM traffic is ~1 ms), attention
   softmax is VPU-bound (806M exps; 9 ms/layer vs a 1 ms matmul
   roofline), and the HV postprocessing is irreducibly iterative VPU
-  work (134 ms measured, HBM round-trips ≈ 1 ms of it). Ceiling ≈
-  330-400 ms/step ≈ 20-24 patches/s; the current 480 ms is 70-80% of
-  that ceiling.
+  work (44 ms measured with the frontier-scheduled flood, HBM
+  round-trips ≈ 1 ms of it). Ceiling ≈ 330-400 ms/step ≈ 20-24
+  patches/s; the current 369.9 ms (fused decoder + frontier watershed,
+  round 3) is INSIDE that ceiling band.
 - 3× the 8-pps anchor = 24 pps would require this 197-TF chip to beat a
   312-TF A100 by 3× on a FLOP-bound workload. Normalized per TFLOP of
   chip, the current number already beats the anchor by
-  (16.6/197)/(8/312) ≈ 3.3×, and beats the reference's SHIPPED serial
-  pipeline (≈2.4 pps, step 3 above) by ≈7×.
+  (21.6/197)/(8/312) ≈ 4.3×, and beats the reference's SHIPPED serial
+  pipeline (≈2.4 pps, step 3 above) by ≈9×.
 """
 
 import json

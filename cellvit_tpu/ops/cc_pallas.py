@@ -334,6 +334,126 @@ def remove_small_objects_pallas(
     )(labels.astype(jnp.int32))
 
 
+def _hist_kernel(lab_ref, hist_ref, *, hi_bins, lo_bins, rows_per_iter):
+    """Radix histogram of compacted labels on the MXU, VMEM-resident.
+
+    Per row-group: `hist += onehot(lab÷lo_bins) · onehot(lab mod lo_bins)`
+    — 0/1 bf16 one-hots built with iota compares, fp32 accumulation (exact
+    counts ≤ 2²⁴). The XLA formulation of the same math materializes the
+    (N, bins) one-hots in HBM (~28 ms at 8×1024²); here they live and die
+    in VMEM per iteration."""
+    h, w = lab_ref.shape[1], lab_ref.shape[2]
+    n = rows_per_iter * w
+
+    def body(g, acc):
+        rows = lab_ref[0, pl.ds(g * rows_per_iter, rows_per_iter), :]
+        flat = rows.reshape(n)
+        hi = jnp.clip(flat // lo_bins, 0, hi_bins - 1)
+        lo = jnp.clip(flat - hi * lo_bins, 0, lo_bins - 1)
+        onehi = (
+            jax.lax.broadcasted_iota(jnp.int32, (hi_bins, n), 0)
+            == hi[None, :]
+        ).astype(jnp.bfloat16)
+        onelo = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, lo_bins), 1)
+            == lo[:, None]
+        ).astype(jnp.bfloat16)
+        return acc + jnp.dot(onehi, onelo, preferred_element_type=jnp.float32)
+
+    hist_ref[0] = jax.lax.fori_loop(
+        0, h // rows_per_iter, body,
+        jnp.zeros((hi_bins, lo_bins), jnp.float32),
+    )
+
+
+def _rm_mapback_kernel(
+    lab_ref, small_t_ref, out_ref, *, hi_bins, lo_bins, max_labels
+):
+    """Per-pixel keep decision mapped back through the radix factorization:
+    `small(p) = onehot(hi_p) · small · onehot(lo_p)ᵀ` as one (N, lo)·(lo, hi)
+    matmul plus a row dot — gather-free."""
+    r, w = out_ref.shape[1], out_ref.shape[2]
+    n = r * w
+    flat = lab_ref[0].reshape(n)
+    hi = jnp.clip(flat // lo_bins, 0, hi_bins - 1)
+    lo = jnp.clip(flat - hi * lo_bins, 0, lo_bins - 1)
+    onelo = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, lo_bins), 1) == lo[:, None]
+    ).astype(jnp.bfloat16)
+    onehi = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, hi_bins), 1) == hi[:, None]
+    ).astype(jnp.float32)
+    back = jnp.dot(onelo, small_t_ref[0], preferred_element_type=jnp.float32)
+    small_p = jnp.sum(onehi * back, axis=1)
+    keep = (flat > 0) & ((small_p < 0.5) | (flat >= max_labels))
+    out_ref[0] = jnp.where(keep, flat, 0).reshape(r, w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_size", "hi_bins", "lo_bins", "interpret")
+)
+def remove_small_objects_bincount_pallas(
+    labels: jnp.ndarray,
+    min_size: int,
+    hi_bins: int = 64,
+    lo_bins: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched `remove_small_objects` for COMPACTED labels via an MXU radix
+    histogram (two Pallas kernels: size counting + keep map-back).
+
+    Exact for ids < hi_bins·lo_bins (8192); beyond that, bin counts only
+    inflate, so degradation is conservative (a small component can be kept,
+    never removed in error) and overflow ids are always kept — see
+    `cc.remove_small_objects_bincount` (the HBM-bound XLA formulation of
+    the same math) for the semantics and proof sketch.
+
+    MEASURED AND REJECTED for the 8×1024² pipeline (round 3): 36.7 ms vs
+    16.4 for `cc.remove_small_objects_window` — the per-iteration
+    (64, 8192)×(8192, 128) matmuls pay Mosaic relayouts that outweigh the
+    HBM savings. Kept (exactness-tested) for large-min_size regimes.
+
+    Reference semantics: skimage `remove_small_objects(min_size)`
+    (post_proc_cellvit.py:190,214)."""
+    if min_size <= 1:
+        return labels
+    b, h, w = labels.shape
+    labels = labels.astype(jnp.int32)
+    max_labels = hi_bins * lo_bins
+    hist = pl.pallas_call(
+        functools.partial(
+            _hist_kernel, hi_bins=hi_bins, lo_bins=lo_bins, rows_per_iter=8
+        ),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, hi_bins, lo_bins), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hi_bins, lo_bins), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(labels)
+    small_t = jnp.swapaxes(hist < min_size, 1, 2).astype(jnp.bfloat16)
+    rows = 8
+    return pl.pallas_call(
+        functools.partial(
+            _rm_mapback_kernel,
+            hi_bins=hi_bins, lo_bins=lo_bins, max_labels=max_labels,
+        ),
+        grid=(b, h // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, w), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, lo_bins, hi_bins), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, w), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(labels, small_t)
+
+
 _WS_INF = np.int32(2**30)
 
 

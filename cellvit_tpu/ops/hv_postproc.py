@@ -56,17 +56,22 @@ def _instance_map_impl(
         # rank-propagation compaction: the gather formulation costs ~66 ms
         # at 8×1024² (round-3 profiling); the Pallas flood ~3 ms
         compact = lambda l: compact_root_labels_pallas(l, n_outer=3)
-        # size filter stays on the XLA windowed-compare path: the Pallas
-        # variant (cc_pallas.remove_small_objects_pallas) is correct but
-        # its 361 lane rolls are pathological to compile on Mosaic
-        # (>40 min at 1024², round-3 — matching the round-2 slice-based
-        # attempt); XLA costs ~9+20 ms for the two calls
+        # size filter: the XLA windowed equality count wins. Measured
+        # alternatives at 8×1024² (round 3, all exact-equivalent):
+        # windowed 16.4 ms standalone (9.1 + 20.5 composed for the two
+        # calls) · MXU radix-histogram bincount in XLA 28 ms (HBM-bound on
+        # the (N, bins) one-hots — cc.remove_small_objects_bincount) · the
+        # same math as VMEM Pallas kernels 36.7 ms (small-matmul relayouts
+        # — cc_pallas.remove_small_objects_bincount_pallas) · Pallas roll
+        # variant: pathological Mosaic compile (>40 min at 1024²).
         rm_small = lambda l, ms: jax.vmap(
             lambda x: cc.remove_small_objects_window(x, ms)
         )(l)
-        # NB: watershed stays on the XLA version even here — HV markers are
-        # pre-grown blobs, so its early-exit stabilization beats the Pallas
-        # kernel's fixed 64-level loop (49 vs 55 ms at 8×1024²); the Pallas
+        rm_small_compacted = rm_small
+        # NB: watershed stays on the XLA version even here — the frontier
+        # schedule visits only levels that have adoptable pixels (HV markers
+        # are pre-grown blobs with thin unlabeled ridge bands), beating both
+        # the fixed sweep and the Pallas fixed-64-level kernel; the Pallas
         # kernel wins 2.6× on point-seeded floods (cc_pallas.watershed_pallas)
         flood = jax.vmap(partial(watershed, levels=levels))
     else:
@@ -76,10 +81,11 @@ def _instance_map_impl(
         fill = jax.vmap(lambda m: cc.fill_holes(m, max_iters=cc_iters))
         flood = jax.vmap(partial(watershed, levels=levels))
         compact = jax.vmap(cc.compact_root_labels)
-        # scatter-free size filter (CPU path)
+        # scatter-free size filter (CPU path; MXU bincount has no edge here)
         rm_small = lambda l, ms: jax.vmap(
             lambda x: cc.remove_small_objects_window(x, ms)
         )(l)
+        rm_small_compacted = rm_small
 
     fg = np_prob >= 0.5
     lab = label_roots(fg)
@@ -101,7 +107,7 @@ def _instance_map_impl(
     marker = jax.vmap(cc.morph_open)(marker)
     marker_lab = label_roots(marker)
     marker_lab = compact(marker_lab)
-    marker_lab = rm_small(marker_lab, object_size)
+    marker_lab = rm_small_compacted(marker_lab, object_size)
 
     return flood(dist, marker_lab, blb)
 

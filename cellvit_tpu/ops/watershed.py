@@ -16,6 +16,24 @@ ridge pixels between two basins can differ from the exact heap-based flood
 (validated against `hv_postproc_np.watershed` in tests). All state is
 (H, W) int32/bool arrays updated with shifts — pure VPU work, batched via
 vmap, nothing leaves HBM.
+
+Two schedules (same quantized-flood semantics):
+
+* ``"frontier"`` (default): a single `while_loop` whose level is computed
+  each iteration as the minimum quantized height over the current frontier
+  (unlabeled in-mask pixels with a labeled neighbor). Empty levels are
+  never visited and each level is stabilized exactly as long as it keeps
+  adopting — on HV postprocessing inputs (pre-grown blob markers, thin
+  unlabeled ridge bands) this needs ~10-40 adopt passes instead of the
+  sweep's fixed `levels × inner_iters` (256) + stabilization.
+* ``"sweep"``: the original fixed ascending level sweep (kept as the
+  reference for `ops/cc_pallas.watershed_pallas`, which implements the
+  same fixed schedule in VMEM).
+
+The frontier schedule is *more* order-faithful than the sweep: every pixel
+is adopted at its own quantized level with full stabilization, whereas the
+sweep gives each level only `inner_iters` passes and mops up leftovers in
+an unrestricted final flood.
 """
 
 from __future__ import annotations
@@ -48,6 +66,39 @@ def _adopt(lab: jnp.ndarray, q: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray
     return jnp.where(take, best_lab, lab)
 
 
+def _flood_frontier(
+    q: jnp.ndarray, lab: jnp.ndarray, mask: jnp.ndarray, max_iters: int
+) -> jnp.ndarray:
+    """Frontier-driven flood: adopt at `lvl = min q over the frontier`.
+
+    Each iteration finds the unlabeled in-mask pixels that touch a label
+    (the frontier), takes the minimum quantized height among them as the
+    current level, and runs one adopt pass gated at that level. Levels with
+    no adoptable pixel are skipped entirely; low-q pockets unlocked later
+    pull the level back down, preserving ascending flood order per pixel.
+    Terminates when an adopt pass changes nothing (frontier empty)."""
+    big = jnp.int32(2**30)
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(state):
+        lab, _, it = state
+        nbr = jnp.zeros(lab.shape, bool)
+        for dy, dx in _SHIFTS:
+            nbr = nbr | (_shift(lab, dy, dx, 0) > 0)
+        frontier = mask & (lab == 0) & nbr
+        lvl = jnp.min(jnp.where(frontier, q, big))
+        new = _adopt(lab, q, mask & (q <= lvl))
+        return new, jnp.any(new != lab), it + 1
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (lab, jnp.asarray(True), jnp.int32(0))
+    )
+    return lab
+
+
 def watershed(
     image: jnp.ndarray,
     markers: jnp.ndarray,
@@ -55,6 +106,7 @@ def watershed(
     levels: int = 64,
     inner_iters: int = 4,
     max_final_iters: int = 512,
+    schedule: str = "frontier",
 ) -> jnp.ndarray:
     """Flood `markers` over `image` within `mask` (4-connectivity).
 
@@ -62,6 +114,8 @@ def watershed(
         image: (H, W) relief (lower floods first).
         markers: (H, W) int32 seed labels (0 = unseeded).
         mask: (H, W) bool region to label.
+        schedule: "frontier" (dynamic level skipping, default) or "sweep"
+            (fixed ascending level loop — see module docstring).
     Returns:
         (H, W) int32 labels.
     """
@@ -71,6 +125,10 @@ def watershed(
     q = jnp.clip(((image - lo) / rng * (levels - 1)), 0, levels - 1).astype(jnp.int32)
 
     lab = jnp.where(mask, markers, 0).astype(jnp.int32)
+
+    if schedule == "frontier":
+        return _flood_frontier(q, lab, mask, max_final_iters)
+    assert schedule == "sweep", schedule
 
     def level_body(lvl, lab):
         active = mask & (q <= lvl)

@@ -63,6 +63,34 @@ def test_fill_holes_pallas():
     np.testing.assert_array_equal(out[0], ref)
 
 
+def test_remove_small_objects_bincount_pallas_matches_window(rng):
+    """VMEM radix-histogram size filter (the production TPU path for the
+    marker call) ≡ windowed equality counting on compacted labels."""
+    from cellvit_tpu.ops import cc
+    from cellvit_tpu.ops.cc_pallas import remove_small_objects_bincount_pallas
+
+    B, H, W = 2, 128, 256
+    yy, xx = np.mgrid[0:H, 0:W]
+    m = np.zeros((B, H, W), bool)
+    for b in range(B):
+        for _ in range(80):
+            cy, cx = rng.integers(3, H - 3), rng.integers(3, W - 3)
+            m[b] |= (yy - cy) ** 2 + (xx - cx) ** 2 <= rng.integers(1, 6) ** 2
+    lab = np.stack([
+        np.asarray(cc.connected_components(jnp.asarray(mb)))  # compacted
+        for mb in m
+    ])
+    for ms in (3, 10):
+        want = np.stack([
+            np.asarray(cc.remove_small_objects_window(jnp.asarray(l), ms))
+            for l in lab
+        ])
+        got = np.asarray(remove_small_objects_bincount_pallas(
+            jnp.asarray(lab), ms, interpret=True
+        ))
+        np.testing.assert_array_equal(got, want, err_msg=f"min_size={ms}")
+
+
 def test_watershed_pallas_matches_xla(rng):
     from cellvit_tpu.ops.cc_pallas import watershed_pallas
     from cellvit_tpu.ops.watershed import watershed
@@ -87,7 +115,7 @@ def test_watershed_pallas_matches_xla(rng):
             k += 1
     want = np.stack([
         np.asarray(watershed(jnp.asarray(img[b]), jnp.asarray(mark[b]),
-                             jnp.asarray(mask[b])))
+                             jnp.asarray(mask[b]), schedule="sweep"))
         for b in range(B)
     ])
     got = np.asarray(watershed_pallas(

@@ -68,6 +68,26 @@ def test_remove_small_objects(rng):
     np.testing.assert_array_equal(out > 0, ref > 0)
 
 
+def test_remove_small_objects_bincount_matches_window(rng):
+    """MXU radix-histogram size filter (production TPU path) ≡ the windowed
+    equality count on compacted labels; overflow ids degrade by KEEPING."""
+    mask = rng.random((96, 96)) > 0.75
+    lab = cc.connected_components(jnp.asarray(mask))  # compact ids
+    for ms in (3, 10):
+        want = np.asarray(cc.remove_small_objects_window(lab, ms))
+        got = np.asarray(cc.remove_small_objects_bincount(lab, ms))
+        np.testing.assert_array_equal(got, want)
+    # overflow: ids >= max_labels are kept, never removed in error
+    lab2 = np.zeros((32, 32), np.int32)
+    lab2[0, 0:3] = 9000  # 3-px component beyond the 8192-id radix
+    lab2[10, 10:30] = 5
+    lab2[20, 20] = 7
+    got = np.asarray(cc.remove_small_objects_bincount(jnp.asarray(lab2), 10))
+    assert (got[0, 0:3] == 9000).all()
+    assert (got[10, 10:30] == 5).all()
+    assert got[20, 20] == 0
+
+
 def test_fill_holes():
     m = np.zeros((32, 32), bool)
     m[5:20, 5:20] = True
@@ -132,6 +152,33 @@ def test_hv_pipeline_device_vs_oracle(rng):
         oid = np.bincount(out[sel]).argmax()
         matched += (out[sel] == oid).sum()
     assert matched / max(total, 1) > 0.98, f"instance agreement {matched / total}"
+
+
+def test_watershed_frontier_matches_sweep_and_oracle(rng):
+    """The frontier schedule (dynamic level skipping, the production
+    default) must agree with the fixed sweep and the exact heap flood on
+    point-seeded basins — the regime where flood ORDER matters most."""
+    from cellvit_tpu.ops.watershed import watershed
+
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w), np.float32)
+    mark = np.zeros((h, w), np.int32)
+    mask = np.zeros((h, w), bool)
+    for k in range(1, 11):
+        cy, cx = rng.integers(12, h - 12), rng.integers(12, w - 12)
+        r = rng.integers(5, 11)
+        sel = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        mask |= sel
+        img = np.minimum(img, -np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (r * r)))
+        mark[cy, cx] = k
+    args = (jnp.asarray(img), jnp.asarray(mark), jnp.asarray(mask))
+    front = np.asarray(watershed(*args, schedule="frontier"))
+    sweep = np.asarray(watershed(*args, schedule="sweep"))
+    exact = oracle.watershed(img, mark, mask)
+    assert ((front > 0) == mask).all(), "frontier must label every masked px"
+    np.testing.assert_array_equal(front, sweep)
+    assert (front[mask] == exact[mask]).mean() > 0.97
 
 
 def test_oracle_watershed_separates_touching_cells():
