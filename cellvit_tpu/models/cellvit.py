@@ -112,6 +112,7 @@ def setup_vit_encoder(model: nn.Module) -> None:
             attn_dropout=model.attn_drop_rate,
             drop_path_rate=model.drop_path_rate,
             remat=model.remat,
+            token_spec=getattr(model, "token_spec", None),
             dtype=dt,
             name="encoder",
         )
@@ -190,6 +191,11 @@ class CellViT(nn.Module):
     prompt_embed_dim: int = 256
     patch_size: int = 16
     remat: bool = False
+    # sequence parallelism for the histo encoder: a NamedSharding for the
+    # (B, N, C) token activations (parallel.seq_sharding(mesh)); tokens are
+    # sharded over the mesh's model axis and GSPMD partitions the attention
+    # einsums (see models/vit.py:HistoViT.token_spec)
+    token_spec: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @property

@@ -42,6 +42,9 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dropout: float = 0.0
     attn_dropout: float = 0.0
+    no_flash: bool = False  # force the einsum path (sequence parallelism:
+    # GSPMD partitions the einsums over sharded tokens; pallas_call is not
+    # auto-partitionable)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -61,6 +64,7 @@ class Attention(nn.Module):
         # materializes the probability matrix to drop from).
         use_flash = (
             n >= 1024
+            and not self.no_flash
             and (not train or self.attn_dropout == 0.0)
             and jax.default_backend() != "cpu"
         )
@@ -103,6 +107,7 @@ class Block(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.0
     drop_path_rate: float = 0.0
+    no_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -118,6 +123,7 @@ class Block(nn.Module):
             qkv_bias=self.qkv_bias,
             dropout=self.dropout,
             attn_dropout=self.attn_dropout,
+            no_flash=self.no_flash,
             dtype=self.dtype,
             name="attn",
         )(y, train=train)
@@ -154,7 +160,20 @@ class HistoViT(nn.Module):
     attn_dropout: float = 0.0
     drop_path_rate: float = 0.0
     remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
+    # sequence parallelism: a NamedSharding for the (B, N, C) token
+    # activations (e.g. parallel.seq_sharding(mesh) → P("data","model",None)).
+    # Constrained after the pos-emb and after every block; XLA GSPMD
+    # partitions the attention/MLP einsums over the token axis and inserts
+    # the K/V all-gathers. New capability vs the reference (SURVEY §5:
+    # "shard the token axis over the mesh — new capability, not a port").
+    # Uses the einsum attention path (pallas_call is not GSPMD-partitionable).
+    token_spec: Optional[Any] = None
     dtype: Dtype = jnp.float32
+
+    def _constrain(self, tokens: jax.Array) -> jax.Array:
+        if self.token_spec is None:
+            return tokens
+        return jax.lax.with_sharding_constraint(tokens, self.token_spec)
 
     def setup(self):
         n_pre = (self.pretrain_img_size // self.patch_size) ** 2
@@ -180,6 +199,7 @@ class HistoViT(nn.Module):
                 dropout=self.dropout,
                 attn_dropout=self.attn_dropout,
                 drop_path_rate=rates[i],
+                no_flash=self.token_spec is not None,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
@@ -228,11 +248,11 @@ class HistoViT(nn.Module):
     def __call__(
         self, x: jax.Array, *, train: bool = False
     ) -> Tuple[jax.Array, jax.Array, List[jax.Array]]:
-        tokens = self.prepare_tokens(x, train=train)
+        tokens = self._constrain(self.prepare_tokens(x, train=train))
         skips: List[jax.Array] = []
         extract = set(self.extract_layers)
         for i, blk in enumerate(self.blocks):
-            tokens = blk(tokens, train)
+            tokens = self._constrain(blk(tokens, train))
             if (i + 1) in extract:
                 skips.append(tokens)
         normed = self.norm(tokens)

@@ -50,6 +50,16 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def seq_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
+    """Sequence parallelism: shard (B, N, C) token activations — batch on
+    `data`, tokens on `axis`. Pass as `token_spec=` to the CellViT / ViT
+    models; GSPMD partitions the attention/MLP einsums over the token axis
+    and inserts the K/V all-gathers (new capability vs the reference —
+    SURVEY §5 long-context note). Uneven token counts (N=4097) are
+    handled by GSPMD padding."""
+    return NamedSharding(mesh, P("data", axis, None))
+
+
 def shard_batch(batch: Pytree, mesh: Mesh) -> Pytree:
     """Place a host batch (numpy pytree) on the mesh, batch-axis sharded.
 

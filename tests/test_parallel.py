@@ -53,6 +53,32 @@ def test_tp_shardings_on_encoder():
         )
 
 
+def test_sequence_parallel_forward_identity():
+    """token_spec shards the encoder's token axis over the model axis
+    (sequence parallelism); outputs must match the unsharded forward.
+    N = 17 tokens over 2 shards exercises the uneven-sharding path."""
+    from tests.test_models_forward import tiny_cellvit
+    from cellvit_tpu.parallel import seq_sharding
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    base = tiny_cellvit()
+    sp = tiny_cellvit(token_spec=seq_sharding(mesh))
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 64, 64, 3)).astype(np.float32)
+    )
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref = jax.jit(lambda v, x: base.apply(v, x, train=False))(variables, x)
+    with mesh:
+        got = jax.jit(lambda v, x: sp.apply(v, x, train=False))(variables, x)
+    for key in ref:
+        np.testing.assert_allclose(
+            np.asarray(ref[key], np.float32),
+            np.asarray(got[key], np.float32),
+            atol=2e-5, rtol=1e-5, err_msg=key,
+        )
+
+
 def test_dryrun_multichip_dp_tp():
     import __graft_entry__ as g
 
