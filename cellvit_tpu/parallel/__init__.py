@@ -7,3 +7,7 @@ from cellvit_tpu.parallel.mesh import (  # noqa: F401
     seq_sharding,
     shard_batch,
 )
+from cellvit_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipe_mesh,
+    pipeline_encoder_apply,
+)

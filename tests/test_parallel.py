@@ -79,6 +79,42 @@ def test_sequence_parallel_forward_identity():
         )
 
 
+def test_pipeline_parallel_encoder_identity():
+    """GPipe-style pipelined encoder (blocks staged over a 4-device "pipe"
+    axis, microbatches circulating via ppermute) must reproduce the
+    sequential HistoViT forward — logits, CLS token, and every skip."""
+    from cellvit_tpu.models.vit import HistoViT
+    from cellvit_tpu.parallel import make_pipe_mesh, pipeline_encoder_apply
+
+    enc = HistoViT(
+        embed_dim=64, depth=4, num_heads=2, num_classes=3,
+        extract_layers=(1, 2, 3, 4), pretrain_img_size=64,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 64, 64, 3)).astype(np.float32)
+    )
+    variables = enc.init(jax.random.PRNGKey(0), x, train=False)
+    ref_logits, ref_cls, ref_skips = enc.apply(variables, x, train=False)
+
+    mesh = make_pipe_mesh(4)
+    got_logits, got_cls, got_skips = jax.jit(
+        lambda v, x: pipeline_encoder_apply(enc, v, x, mesh, n_micro=2)
+    )(variables, x)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(got_logits), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_cls), np.asarray(got_cls), atol=2e-5, rtol=1e-5
+    )
+    assert len(got_skips) == len(ref_skips)
+    for i, (a, b) in enumerate(zip(ref_skips, got_skips)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5,
+            err_msg=f"skip {i}",
+        )
+
+
 def test_dryrun_multichip_dp_tp():
     import __graft_entry__ as g
 
