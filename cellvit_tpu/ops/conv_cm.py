@@ -14,6 +14,16 @@ Layout: input/output are channel-major (B, C, H, W) — "CM". Hot callers
 keep activations CM across consecutive convs; `nhwc_to_cm`/`cm_to_nhwc`
 are plain XLA transposes for the boundaries.
 
+STATUS — measured and REJECTED for the d0 decoder stage (round 3, one
+v5e chip, 8x64x1024x1024 -> 64, bf16, chained dispatch): XLA conv+relu
+15.7 ms vs this kernel 24.7 ms (22.7/conv in a 2-chain; +res epilogue
+26.5; the 64->192 variant exceeds the 16 MB scoped-VMEM stack). The
+in-kernel panel build (48 lane-rotates + 72 row copies per block) is
+VPU work XLA's native conv lowering doesn't pay, and F=64 underfills
+the MXU output-rows dim in ANY layout, so the lane-side win cannot
+recoup it. Kept with exactness tests as a building block for shapes
+where a fused epilogue outweighs panel cost (deep C, small H*W).
+
 Halo handling: the grid walks row-blocks; three BlockSpec views of the
 same input (prev/cur/next row-block, edge-clamped) provide the +-1 rows
 without overlapping blocks. Row/column image edges are zeroed to match
@@ -55,20 +65,36 @@ def pack_kernel_cm(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(w, (3, 0, 1, 2)).reshape(f, 9 * c)
 
 
+def _roll_lanes(row: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Lane rotate that Mosaic can lower for any dtype.
+
+    `tpu.dynamic_rotate` is only implemented for 32-bit element types
+    ("Rotate with non-32-bit data" compile error on bf16), so narrow
+    dtypes round-trip through fp32 for the rotate.
+    """
+    if row.dtype.itemsize == 4:
+        return pltpu.roll(row, shift, 1)
+    return pltpu.roll(row.astype(jnp.float32), shift, 1).astype(row.dtype)
+
+
 def _conv3x3_kernel(
     xprev_ref,
     xcur_ref,
     xnext_ref,
     w_ref,
     b_ref,
-    out_ref,
-    a_ref,
-    *,
+    *rest,
     rows: int,
     n_blocks: int,
     relu: bool,
+    has_res: bool,
     out_dtype,
 ):
+    if has_res:
+        res_ref, out_ref, a_ref = rest
+    else:
+        res_ref = None
+        out_ref, a_ref = rest
     i = pl.program_id(1)
     c = xcur_ref.shape[1]
     w = xcur_ref.shape[3]
@@ -94,9 +120,9 @@ def _conv3x3_kernel(
                 elif dx == 1:
                     # out col j takes input col j+1; zero the last column
                     # (pltpu.roll takes non-negative shifts: -1 == w-1)
-                    sh = jnp.where(col < w - 1, pltpu.roll(row, w - 1, 1), 0)
+                    sh = jnp.where(col < w - 1, _roll_lanes(row, w - 1), 0)
                 else:
-                    sh = jnp.where(col > 0, pltpu.roll(row, 1, 1), 0)
+                    sh = jnp.where(col > 0, _roll_lanes(row, 1), 0)
                 k = (dy + 1) * 3 + (dx + 1)
                 a_ref[k * c:(k + 1) * c, :] = sh
         acc = jax.lax.dot_general(
@@ -106,13 +132,15 @@ def _conv3x3_kernel(
             preferred_element_type=jnp.float32,
         )
         acc = acc + b_ref[...]
+        if has_res:
+            acc = acc + res_ref[0, :, r, :].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
         out_ref[0, :, r, :] = acc.astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows", "relu", "interpret")
+    jax.jit, static_argnames=("rows", "relu", "res_block", "interpret")
 )
 def conv3x3_cm(
     x: jnp.ndarray,
@@ -120,6 +148,8 @@ def conv3x3_cm(
     b: Optional[jnp.ndarray] = None,
     rows: int = 8,
     relu: bool = False,
+    res: Optional[jnp.ndarray] = None,
+    res_block: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """SAME 3x3 convolution on a channel-major (B, C, H, W) tensor.
@@ -130,6 +160,12 @@ def conv3x3_cm(
         b: optional (F,) bias, added pre-activation.
         rows: row-block height (H % rows == 0).
         relu: fuse max(x, 0) into the epilogue.
+        res: optional (B, kF, H, W) residual added pre-activation (after
+            bias) — fuses e.g. a shared-conv slice into the epilogue with
+            no extra HBM round-trip. Channels [res_block*F, (res_block+1)*F)
+            are used, so a merged multi-tower buffer can be passed whole
+            (no slice materialization).
+        res_block: which F-sized channel block of `res` to add.
 
     Returns (B, F, H, W) in x.dtype.
     """
@@ -143,32 +179,47 @@ def conv3x3_cm(
     )
 
     blk = lambda fn: pl.BlockSpec((1, c, rows, wd), fn)
+    in_specs = [
+        blk(lambda bi, ri: (bi, 0, jnp.maximum(ri - 1, 0), 0)),
+        blk(lambda bi, ri: (bi, 0, ri, 0)),
+        blk(lambda bi, ri: (bi, 0, jnp.minimum(ri + 1, n_blocks - 1), 0)),
+        pl.BlockSpec((f, 9 * c), lambda bi, ri: (0, 0)),
+        pl.BlockSpec((f, 1), lambda bi, ri: (0, 0)),
+    ]
+    inputs = [x, x, x, wm, bias]
+    if res is not None:
+        assert res.shape[0] == bsz and res.shape[2:] == (h, wd), res.shape
+        assert res.shape[1] % f == 0 and res_block < res.shape[1] // f, (
+            res.shape, f, res_block)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, f, rows, wd),
+                lambda bi, ri, rb=res_block: (bi, rb, ri, 0),
+            )
+        )
+        inputs.append(res)
     return pl.pallas_call(
         functools.partial(
             _conv3x3_kernel,
             rows=rows,
             n_blocks=n_blocks,
             relu=relu,
+            has_res=res is not None,
             out_dtype=x.dtype,
         ),
         grid=(bsz, n_blocks),
-        in_specs=[
-            blk(lambda bi, ri: (bi, 0, jnp.maximum(ri - 1, 0), 0)),
-            blk(lambda bi, ri: (bi, 0, ri, 0)),
-            blk(lambda bi, ri: (bi, 0, jnp.minimum(ri + 1, n_blocks - 1), 0)),
-            pl.BlockSpec((f, 9 * c), lambda bi, ri: (0, 0)),
-            pl.BlockSpec((f, 1), lambda bi, ri: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, f, rows, wd), lambda bi, ri: (bi, 0, ri, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, f, h, wd), x.dtype),
         scratch_shapes=[pltpu.VMEM((9 * c, wd), x.dtype)],
         interpret=interpret,
-    )(x, x, x, wm, bias)
+    )(*inputs)
 
 
 def conv3x3_cm_reference(
     x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
-    relu: bool = False,
+    relu: bool = False, res: Optional[jnp.ndarray] = None,
+    res_block: int = 0,
 ) -> jnp.ndarray:
     """XLA oracle with identical semantics (CM in/out)."""
     out = jax.lax.conv_general_dilated(
@@ -181,6 +232,30 @@ def conv3x3_cm_reference(
     )
     if b is not None:
         out = out + b.astype(jnp.float32)
+    if res is not None:
+        f = w.shape[-1]
+        sl = res[:, res_block * f : (res_block + 1) * f]
+        out = out + cm_to_nhwc(sl).astype(jnp.float32)
     if relu:
         out = jnp.maximum(out, 0.0)
     return nhwc_to_cm(out.astype(x.dtype))
+
+
+def conv_t2x2_cm(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, dtype
+) -> jnp.ndarray:
+    """ConvTranspose 2x2/stride-2 on NHWC input, channel-major output.
+
+    Same depth-to-space matmul as `models/fused.py:_conv_t2x2` but the
+    6-D transpose lands the result directly in (B, F, 2H, 2W) layout, so
+    a CM consumer (conv3x3_cm) needs no extra transpose.
+    """
+    b, h, w, c = x.shape
+    f = kernel.shape[-1]
+    wmat = kernel.astype(dtype).reshape(c, 4 * f)
+    y = jnp.matmul(
+        x.astype(dtype).reshape(b * h * w, c), wmat,
+        preferred_element_type=dtype,
+    ).reshape(b, h, w, 2, 2, f)
+    y = y.transpose(0, 5, 1, 3, 2, 4).reshape(b, f, 2 * h, 2 * w)
+    return y + bias.astype(dtype)[None, :, None, None]

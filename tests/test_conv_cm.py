@@ -47,6 +47,40 @@ def test_conv3x3_cm_bf16(rng):
     assert float(d) < 0.1
 
 
+@pytest.mark.parametrize("block", [0, 1, 2])
+def test_conv3x3_cm_res_block(rng, block):
+    """Fused residual add: channels [block*F, (block+1)*F) of a merged
+    3F-channel buffer are added pre-relu, without slicing the buffer."""
+    b, c, h, w, f = 1, 16, 16, 128, 8
+    x = jnp.asarray(rng.standard_normal((b, c, h, w)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, c, f)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(f), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((b, 3 * f, h, w)), jnp.float32)
+    out = conv3x3_cm(
+        x, k, bias, rows=8, relu=True, res=res, res_block=block,
+        interpret=True,
+    )
+    ref = conv3x3_cm_reference(x, k, bias, relu=True, res=res,
+                               res_block=block)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_conv_t2x2_cm_matches_nhwc(rng):
+    """CM depth-to-space convT == the NHWC one (models/fused.py),
+    transposed."""
+    from cellvit_tpu.models.fused import _conv_t2x2
+    from cellvit_tpu.ops.conv_cm import conv_t2x2_cm
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 12)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 12, 6)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(6), jnp.float32)
+    ref = _conv_t2x2(x, k, bias, jnp.float32)
+    got = conv_t2x2_cm(x, k, bias, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(nhwc_to_cm(ref)), atol=2e-5
+    )
+
+
 def test_pack_kernel_layout():
     """Tap (dy, dx) must land at rows [(3dy+dx)C, ...) to match the panel."""
     w = np.zeros((3, 3, 2, 4), np.float32)
