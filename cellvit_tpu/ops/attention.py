@@ -43,11 +43,17 @@ def _flash_kernel(
     dv = v_ref.shape[-1]
     n_kblocks = k_ref.shape[1] // block_k
     # the kernel is VPU-bound on the softmax, not MXU-bound on the dots
-    # (measured 9.25 ms vs a 1.05 ms matmul roofline at 8×6×4097×64):
-    # mask only the blocks that actually contain padded keys, and run the
-    # exp in the storage dtype (bf16 inputs → bf16 exp: 2× vector
-    # throughput; ~4e-3 relative error, below the bf16 output
-    # quantization. fp32 inputs keep an fp32 exp). m/l stay fp32.
+    # (measured 9.25 ms vs a 1.05 ms matmul roofline at 8×6×4097×64), so
+    # every per-logit-element VPU op counts:
+    # * mask only the blocks that actually contain padded keys;
+    # * `scale` is folded into q by the callers (exact for power-of-two
+    #   head dims; the rel-pos fold already requires scale=1) — the
+    #   per-element multiply is skipped entirely when scale == 1;
+    # * the exp runs in the storage dtype (bf16 inputs → bf16 exp: 2×
+    #   vector throughput; ~4e-3 relative error, below the bf16 output
+    #   quantization. fp32 inputs keep an fp32 exp). m/l stay fp32 —
+    #   running the max/sub chain in bf16 was measured SLOWER (8.05 vs
+    #   7.80 ms: the casts cost more than the packing saves).
     exp_dtype = q.dtype
     n_full = n_real // block_k  # static: blocks with no padded keys
 
@@ -56,9 +62,9 @@ def _flash_kernel(
             acc, m_prev, l_prev = carry
             k = k_ref[0, pl.ds(i * block_k, block_k), :]
             v = v_ref[0, pl.ds(i * block_k, block_k), :]
-            logits = (
-                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            )
+            logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                logits = logits * scale
             if mask:
                 k_idx = i * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (tq, block_k), 1
@@ -105,14 +111,19 @@ def _flash_bwd_dq_kernel(
     def body(i, dq):
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            logits = logits * scale
         k_idx = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (tq, block_k), 1
         )
         logits = jnp.where(k_idx < n_real, logits, NEG_INF)
         p = jnp.exp(logits - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(k.dtype)
+        ds = p * (dp - delta)
+        if scale != 1.0:
+            ds = ds * scale
+        ds = ds.astype(k.dtype)
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, n_kblocks, body, jnp.zeros((tq, d), jnp.float32))
@@ -141,13 +152,18 @@ def _flash_bwd_dkv_kernel(
         do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            logits = logits * scale
         logits = jnp.where(k_valid, logits, NEG_INF)
         p = jnp.exp(logits - lse)
         pt = p.astype(do.dtype).T
         dv = dv + jnp.dot(pt, do, preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        ds = p * (dp - delta)
+        if scale != 1.0:
+            ds = ds * scale
+        ds = ds.astype(q.dtype)
         dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -295,12 +311,19 @@ def flash_attention(
     def reshape(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], x.shape[-1])
 
-    qf, kf, vf = reshape(q), reshape(k), reshape(v)
+    # fold the scale into q OUTSIDE the kernel: one multiply per q element
+    # instead of one per logit element (N² per call — ~0.8 ms of pure VPU
+    # time at 8×6×4097). Exact in bf16 for power-of-two head dims (64 for
+    # every shipped histo-ViT config: 1/√64 = 0.125); otherwise the
+    # rounding is within the bf16 storage quantization already accepted.
+    # The custom-VJP boundary sees the scaled q, and XLA chain-rules the
+    # outer multiply into dq automatically.
+    qf, kf, vf = reshape(q) * jnp.asarray(scale, q.dtype), reshape(k), reshape(v)
     qf, _ = _pad_to(qf, 1, block_q)
     kf, n_real = _pad_to(kf, 1, block_k)
     vf, _ = _pad_to(vf, 1, block_k)
 
-    out = _flash_core(qf, kf, vf, block_q, block_k, n_real, scale, interpret)
+    out = _flash_core(qf, kf, vf, block_q, block_k, n_real, 1.0, interpret)
     return out[:, :n, :].reshape(b, h, n, dv).transpose(0, 2, 1, 3)
 
 
