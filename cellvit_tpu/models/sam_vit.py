@@ -95,10 +95,16 @@ class SamAttention(nn.Module):
         qkv = qkv.reshape(b, h * w, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, nh, hd)
 
-        # global attention over big grids (1024² tiles → 64×64 tokens):
-        # flash kernel with the decomposed rel-pos bias folded in
+        # flash kernel with the decomposed rel-pos bias folded in — both the
+        # global grids (1024² tiles → 64×64 tokens) AND the 14×14 windows
+        # (windows act as the batch dim). The windowed einsum path measured
+        # 6.7 ms/block of logits-materialization HBM traffic at 8×1024²
+        # SAM-B (softmax over a 492 MB fp32 buffer: +5.2 ms, logits write:
+        # +1.5 ms — round-3 prefix probe); the flash route keeps logits in
+        # VMEM. Tiny grids (≤ 4×4 tokens in 64² parity tests) stay on the
+        # einsum path, as does CPU (the Mosaic kernel is TPU-only).
         if (
-            self.use_rel_pos and h * w >= 1024 and h * w % 256 == 0
+            self.use_rel_pos and h * w >= 196
             and jax.default_backend() != "cpu"
         ):
             from cellvit_tpu.ops.attention import flash_attention_relpos

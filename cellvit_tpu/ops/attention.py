@@ -175,6 +175,130 @@ def _flash_bwd_dkv_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _win_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int):
+    """Whole-window attention for a batch of WB (window·head) pairs.
+
+    SAM's windowed blocks attend within 196-token windows
+    (`image_encoder.py:181-188`): the whole (196, 196) logits tile fits in
+    VMEM, so no online softmax is needed — one pass, logits never touch
+    HBM. Batching WB pairs per program amortizes grid/DMA overhead that
+    made the plain flash kernel (grid = windows·heads = 2400 single-block
+    programs at 8×1024²) recover only ~2 of the ~6.7 ms the XLA einsum
+    path spent on logits HBM traffic per SAM-B block. Measured SAM-B
+    windowed block: einsum 13.94 → flash route 12.06 → this kernel
+    11.54 ms (SAM-H: 24.5 → 21.4 → 21.11); a (H, NW, N, D)-blocked
+    variant paid an extra head-major relayout and lost (13.52/22.57).
+
+    Matmuls in the storage dtype with fp32 accumulation; exp in the
+    storage dtype (house numerics, see `_flash_kernel`)."""
+    wb = q_ref.shape[0]
+    n_pad = q_ref.shape[1]
+    for w in range(wb):  # static unroll over the (window·head) batch
+        q = q_ref[w]  # (Np, DQK)
+        k = k_ref[w]
+        v = v_ref[w]
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if n_pad != n_real:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < n_real, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp((logits - m).astype(q.dtype))
+        l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[w] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _win_core(q, k, v, window_block, interpret):
+    return _win_fwd(q, k, v, window_block, interpret)
+
+
+def _win_fwd(q, k, v, window_block, interpret):
+    """(B, N, H, D) per-window attention via the VMEM-resident kernel.
+    Folds (window, head) into one flat batch axis (the same transpose the
+    flash route pays — a head-major (H, NW, N, D) blocking measured ~2 ms
+    slower per SAM-B block), pads N to the sublane multiple and the flat
+    batch to the window block."""
+    b, n, h, d = q.shape
+    dv = v.shape[-1]
+    sub = 8 if q.dtype == jnp.float32 else 16
+    n_pad = -(-n // sub) * sub
+    bh = b * h
+    wb = min(window_block, bh)
+    bh_pad = -(-bh // wb) * wb
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+        x = x.transpose(0, 2, 1, 3).reshape(bh, n_pad, x.shape[-1])
+        if bh_pad != bh:
+            x = jnp.pad(x, ((0, bh_pad - bh), (0, 0), (0, 0)))
+        return x
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+    out = pl.pallas_call(
+        functools.partial(_win_attn_kernel, n_real=n),
+        grid=(bh_pad // wb,),
+        in_specs=[
+            pl.BlockSpec((wb, n_pad, d), lambda j: (j, 0, 0)),
+            pl.BlockSpec((wb, n_pad, d), lambda j: (j, 0, 0)),
+            pl.BlockSpec((wb, n_pad, dv), lambda j: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((wb, n_pad, dv), lambda j: (j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, n_pad, dv), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out[:bh].reshape(b, h, n_pad, dv)[:, :, :n]
+    return out.transpose(0, 2, 1, 3)
+
+
+def _win_core_fwd(q, k, v, window_block, interpret):
+    return _win_fwd(q, k, v, window_block, interpret), (q, k, v)
+
+
+def _win_core_bwd(window_block, interpret, res, do):
+    """Backward by exact recompute in XLA (fp32 softmax): windows are
+    tiny in every training regime (256² crops → 4 windows/image), so
+    materializing (B, H, N, N) logits only in the backward is cheap."""
+    q, k, v = res
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, dof)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", dof, vf)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf).astype(q.dtype)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf).astype(k.dtype)
+    return dq, dk, dv.astype(v.dtype)
+
+
+_win_core.defvjp(_win_core_fwd, _win_core_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_block", "interpret")
+)
+def window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window_block: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Softmax(q·kᵀ)·v independently per batch element (= per window),
+    for short sequences (N ≲ 256) whose logits tile fits in VMEM.
+
+    The batch dim is the window axis (e.g. B·25 windows of 196 tokens for
+    SAM's 14×14 windowed attention at 1024² tiles). No scale is applied —
+    fold it into q (the rel-pos lane augmentation already requires
+    scale=1). q/k may be wider than v; the output takes v's width.
+    Differentiable: backward recomputes exactly in XLA."""
+    return _win_core(q, k, v, window_block, interpret)
+
+
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> Tuple[jnp.ndarray, int]:
     n = x.shape[axis]
     target = -(-n // multiple) * multiple
@@ -389,6 +513,16 @@ def flash_attention_relpos(
         [k, jnp.broadcast_to(onehot[None, :, None, :], (b, n, h, gh + gw))],
         axis=-1,
     )
+    # short sequences (the 14×14 windows, N=196, windows as batch; or
+    # 16×16 global grids at 256² training crops): whole-window VMEM
+    # kernel — one (N, N) logits tile per (window·head), WB pairs per
+    # program. The flash grid at this shape degenerates to windows·heads
+    # single-block programs whose per-program overhead gave back most of
+    # the HBM saving (measured SAM-B windowed block: einsum 13.94 →
+    # flash 12.06 → window kernel 11.54 ms; SAM-H 24.5 → 21.4 → 21.11).
+    if n <= 256:
+        return window_attention(q_aug, k_aug, v, interpret=interpret)
+
     # fp32 staging of the 192-lane augmented q/k overflows the 16 MB
     # scoped-VMEM budget at N=4096 with 512-wide blocks (16.3 MB) — halve
     # the block for fp32 callers (parity path; production runs bf16).

@@ -38,10 +38,17 @@ def test_flash_attention_ragged_n(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_flash_attention_relpos_matches_sam_math(rng):
+@pytest.mark.parametrize(
+    "gh,gw",
+    [
+        (8, 8),  # n=64 ≤ 256 → whole-window VMEM kernel path
+        (16, 20),  # n=320 > 256 → flash (online-softmax) path
+    ],
+)
+def test_flash_attention_relpos_matches_sam_math(rng, gh, gw):
     from cellvit_tpu.models.sam_vit import gather_rel_pos
 
-    b, gh, gw, h, d = 1, 8, 8, 2, 32
+    b, h, d = 1, 2, 32
     n = gh * gw
     q = jnp.asarray(rng.standard_normal((b, n, h, d), dtype=np.float32))
     k = jnp.asarray(rng.standard_normal((b, n, h, d), dtype=np.float32))
@@ -64,6 +71,81 @@ def test_flash_attention_relpos_matches_sam_math(rng):
         q, k, v, rh, rw, grid_hw=(gh, gw), block_q=32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_relpos_windowed_shape(rng):
+    """The SAM windowed path routes 14×14 windows through the rel-pos
+    flash kernel with windows as the batch dim (models/sam_vit.py):
+    N = 196 is not a multiple of the block size, so this exercises the
+    single partially-masked key block. Reference: the decomposed-bias
+    einsum math of `add_decomposed_rel_pos` (image_encoder.py:354-392)."""
+    from cellvit_tpu.models.sam_vit import gather_rel_pos
+
+    b, gh, gw, h, d = 3, 14, 14, 2, 32  # 3 windows, window side 14
+    n = gh * gw
+    q = jnp.asarray(rng.standard_normal((b, n, h, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, h, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, h, d), dtype=np.float32))
+    table_h = jnp.asarray(rng.standard_normal((2 * gh - 1, d), dtype=np.float32))
+    table_w = jnp.asarray(rng.standard_normal((2 * gw - 1, d), dtype=np.float32))
+    rh = gather_rel_pos(table_h, gh)
+    rw = gather_rel_pos(table_w, gw)
+
+    rq = q.reshape(b, gh, gw, h, d)
+    bias_h = jnp.einsum("bijnd,ikd->bnijk", rq, rh)
+    bias_w = jnp.einsum("bijnd,jld->bnijl", rq, rw)
+    bias = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(b, h, n, n)
+    ref = _reference_attention(q, k, v, bias=bias)
+
+    out = flash_attention_relpos(
+        q, k, v, rh, rw, grid_hw=(gh, gw), block_q=256, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_window_attention_matches_reference(rng):
+    """Whole-window kernel vs dense attention: N=196 (not a sublane
+    multiple — exercises the padded-key masking) and a ragged window
+    count (B=5 with window_block=2 — exercises window-batch padding).
+    No scale is applied by the kernel (caller folds it)."""
+    from cellvit_tpu.ops.attention import window_attention
+
+    for b, n, h, d, dv in [(5, 196, 2, 32, 24), (3, 64, 1, 16, 16)]:
+        q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32) * 0.3
+        k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32) * 0.3
+        v = jnp.asarray(rng.standard_normal((b, n, h, dv)), jnp.float32)
+        out = window_attention(q, k, v, window_block=2, interpret=True)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        p = jax.nn.softmax(logits, axis=-1)
+        ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+
+def test_window_attention_vjp_matches_xla(rng):
+    """window_attention custom VJP (XLA recompute backward) vs dense."""
+    from cellvit_tpu.ops.attention import window_attention
+
+    b, n, h, d = 3, 20, 2, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32) * 0.3
+        for _ in range(3)
+    )
+    cot = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+
+    def dense(q, k, v):
+        p = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q, k), -1)
+        return jnp.vdot(jnp.einsum("bhqk,bkhd->bqhd", p, v), cot)
+
+    def win(q, k, v):
+        return jnp.vdot(
+            window_attention(q, k, v, window_block=2, interpret=True), cot
+        )
+
+    for a, bb in zip(jax.grad(win, (0, 1, 2))(q, k, v),
+                     jax.grad(dense, (0, 1, 2))(q, k, v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=3e-5)
 
 
 def test_flash_attention_vjp_matches_xla(rng):
