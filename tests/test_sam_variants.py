@@ -130,6 +130,51 @@ def test_cellvit_sam_b_e2e_256():
     )
 
 
+@pytest.mark.slow
+def test_cellvit_sam_l_e2e():
+    """SAM-L numerical e2e parity at 64² (the shape-completeness check
+    below cannot catch transpose/layout errors that preserve shapes).
+    Materializes the real 308M-param model: SAM-L's own global-attention
+    indices [5,11,17,23], extract layers [6,12,18,24] and rel-pos tables
+    (reference cellvit.py:652-658) are exercised with actual numerics."""
+    from cellvit_tpu.models import CellViTSAM
+
+    torch.manual_seed(25)
+    m = ref.cellvit.CellViTSAM(
+        None, num_nuclei_classes=6, num_tissue_classes=19, vit_structure="SAM-L"
+    )
+    _compare(
+        m,
+        CellViTSAM(
+            num_nuclei_classes=6, num_tissue_classes=19, vit_structure="SAM-L"
+        ),
+        batch=1,
+        atol=2e-4,
+    )
+
+
+@pytest.mark.slow
+def test_cellvit_sam_h_e2e():
+    """SAM-H (the headline mPQ-0.51 model) numerical e2e parity at 64²,
+    materializing the real 632M-param model: global-attention indices
+    [7,15,23,31], extract layers [8,16,24,32], d=1280/16 heads (reference
+    cellvit.py:659-665)."""
+    from cellvit_tpu.models import CellViTSAM
+
+    torch.manual_seed(26)
+    m = ref.cellvit.CellViTSAM(
+        None, num_nuclei_classes=6, num_tissue_classes=19, vit_structure="SAM-H"
+    )
+    _compare(
+        m,
+        CellViTSAM(
+            num_nuclei_classes=6, num_tissue_classes=19, vit_structure="SAM-H"
+        ),
+        batch=1,
+        atol=2e-4,
+    )
+
+
 @pytest.mark.parametrize("vit_structure", ["SAM-L", "SAM-H"])
 def test_sam_lh_converter_key_and_shape_completeness(vit_structure):
     """SAM-L/H checkpoint-converter check without materializing 300-600M
