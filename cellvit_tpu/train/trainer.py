@@ -426,47 +426,75 @@ class CellViTTrainer:
         early_stopping: Optional[EarlyStopping] = None,
         monitor: str = "bPQ",
         checkpoint_dir: Optional[Path] = None,
+        checkpoint_format: str = "msgpack",
         seed: int = 0,
         log_fn: Optional[Callable[[str], None]] = None,
         start_epoch: int = 0,
     ) -> TrainState:
         from cellvit_tpu.train import checkpoint as ckpt
 
+        okpt = None
+        if checkpoint_dir is not None and checkpoint_format == "orbax":
+            # TPU-native path: async sharded snapshots; the manager's
+            # best-metric retention replaces the explicit model_best copy.
+            from cellvit_tpu.train.checkpoint_orbax import OrbaxCheckpointer
+
+            okpt = OrbaxCheckpointer(
+                Path(checkpoint_dir) / "orbax", monitor=monitor
+            )
+        elif checkpoint_format not in ("msgpack", "orbax"):
+            raise ValueError(
+                f"checkpoint_format must be msgpack|orbax, got {checkpoint_format!r}"
+            )
+
         log = log_fn or (self.logger.info if self.logger else print)
-        rng = jax.random.PRNGKey(seed)
-        for epoch in range(start_epoch, epochs):
-            t0 = time.time()
-            rng, sub = jax.random.split(rng)
-            state, train_scalars = self.train_epoch(
-                state, train_loader, epoch, unfreeze_epoch=unfreeze_epoch, rng=sub
-            )
-            log(
-                f"epoch {epoch + 1}/{epochs} "
-                f"loss={train_scalars.get('Total_Loss', float('nan')):.4f} "
-                f"dice={train_scalars.get('dice', float('nan')):.4f} "
-                f"({time.time() - t0:.1f}s)"
-            )
-            if (epoch + 1) % eval_every == 0:
-                val_scalars, _ = self.validation_epoch(state, val_loader, epoch)
-                log(
-                    f"  val loss={val_scalars.get('Total_Loss', float('nan')):.4f} "
-                    f"bPQ={val_scalars.get('bPQ', 0.0):.4f}"
-                )
-                if checkpoint_dir is not None:
-                    ckpt.save_checkpoint(
-                        checkpoint_dir / "latest_checkpoint", state, self, epoch
-                    )
-                if early_stopping is not None:
-                    improved = early_stopping(val_scalars.get(monitor, 0.0), epoch)
-                    if improved and checkpoint_dir is not None:
-                        ckpt.save_checkpoint(
-                            checkpoint_dir / "model_best", state, self, epoch
-                        )
-                    if early_stopping.early_stop:
-                        log(f"early stopping at epoch {epoch + 1}")
-                        break
-            elif checkpoint_dir is not None:
+
+        def save_latest(epoch, metrics=None):
+            if okpt is not None:
+                okpt.save(epoch, state, metrics=metrics, meta={"epoch": epoch})
+            else:
                 ckpt.save_checkpoint(
                     checkpoint_dir / "latest_checkpoint", state, self, epoch
                 )
+
+        rng = jax.random.PRNGKey(seed)
+        try:
+            for epoch in range(start_epoch, epochs):
+                t0 = time.time()
+                rng, sub = jax.random.split(rng)
+                state, train_scalars = self.train_epoch(
+                    state, train_loader, epoch, unfreeze_epoch=unfreeze_epoch, rng=sub
+                )
+                log(
+                    f"epoch {epoch + 1}/{epochs} "
+                    f"loss={train_scalars.get('Total_Loss', float('nan')):.4f} "
+                    f"dice={train_scalars.get('dice', float('nan')):.4f} "
+                    f"({time.time() - t0:.1f}s)"
+                )
+                if (epoch + 1) % eval_every == 0:
+                    val_scalars, _ = self.validation_epoch(state, val_loader, epoch)
+                    log(
+                        f"  val loss={val_scalars.get('Total_Loss', float('nan')):.4f} "
+                        f"bPQ={val_scalars.get('bPQ', 0.0):.4f}"
+                    )
+                    if checkpoint_dir is not None:
+                        save_latest(epoch, metrics=val_scalars)
+                    if early_stopping is not None:
+                        improved = early_stopping(
+                            val_scalars.get(monitor, 0.0), epoch
+                        )
+                        # orbax: best-metric retention already pins the best
+                        # step; only the msgpack path needs an explicit copy.
+                        if improved and checkpoint_dir is not None and okpt is None:
+                            ckpt.save_checkpoint(
+                                checkpoint_dir / "model_best", state, self, epoch
+                            )
+                        if early_stopping.early_stop:
+                            log(f"early stopping at epoch {epoch + 1}")
+                            break
+                elif checkpoint_dir is not None:
+                    save_latest(epoch)
+        finally:
+            if okpt is not None:
+                okpt.close()
         return state

@@ -147,6 +147,44 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fit_orbax_checkpointing(tmp_path, setup):
+    """fit(checkpoint_format='orbax'): per-epoch saves land in the manager,
+    best-metric retention works, and restore resumes the step counter."""
+    from cellvit_tpu.train.checkpoint_orbax import OrbaxCheckpointer
+
+    trainer, make_state, loader = setup
+    state = make_state()
+    state = trainer.fit(
+        state,
+        epochs=2,
+        train_loader=loader,
+        val_loader=loader,
+        checkpoint_dir=tmp_path,
+        checkpoint_format="orbax",
+        log_fn=lambda *_: None,
+    )
+    with OrbaxCheckpointer(tmp_path / "orbax", monitor="bPQ") as ck:
+        assert ck.latest_step() == 1
+        assert ck.best_step() is not None
+        fresh = make_state()
+        restored, meta = ck.restore(fresh)
+    assert meta["epoch"] == 1
+    assert int(restored.step) == int(state.step)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_bad_checkpoint_format_raises(setup):
+    trainer, make_state, loader = setup
+    with pytest.raises(ValueError, match="checkpoint_format"):
+        trainer.fit(
+            make_state(), epochs=1, train_loader=loader, val_loader=loader,
+            checkpoint_dir=Path("/tmp/x"), checkpoint_format="zarr",
+            log_fn=lambda *_: None,
+        )
+
+
 def test_early_stopping():
     es = EarlyStopping(patience=2, strategy="maximize")
     assert es(0.5, 0)
