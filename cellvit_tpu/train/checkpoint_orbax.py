@@ -71,16 +71,42 @@ class OrbaxCheckpointer:
         directory = Path(directory).absolute()
         directory.mkdir(parents=True, exist_ok=True)
         best_fn = None
+        preservation = None
         if monitor is not None:
             key = monitor
+            worst = float("-inf") if mode == "max" else float("inf")
 
             def best_fn(metrics: Dict[str, float]) -> float:  # noqa: F811
-                return float(metrics.get(key, float("-inf")))
+                return float(metrics.get(key, worst))
+
+            # Retention must keep BOTH the metric-best N and the latest
+            # step: orbax's implicit best_fn policy is BestN-only, which
+            # GC's the newest checkpoint whenever its metric isn't
+            # top-N — crash/resume would then silently lose the most
+            # recent epochs (reference latest_checkpoint semantics,
+            # base_trainer.py:203-211). LatestN(1) pins the newest save
+            # (metrics or not), and keep_checkpoints_without_metrics=False
+            # stops metric-less save_latest() snapshots from accumulating
+            # unboundedly between eval epochs.
+            pp = ocp.checkpoint_managers.preservation_policy
+            preservation = pp.AnyPreservationPolicy([
+                pp.LatestN(n=1),
+                pp.BestN(
+                    get_metric_fn=best_fn,
+                    reverse=(mode == "min"),
+                    n=max_to_keep,
+                    keep_checkpoints_without_metrics=False,
+                ),
+            ])
 
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep,
+            # preservation_policy and max_to_keep are mutually exclusive in
+            # the options; the BestN(n=max_to_keep)+LatestN(1) policy
+            # subsumes max_to_keep when a monitor is set.
+            max_to_keep=None if preservation is not None else max_to_keep,
             best_fn=best_fn,
             best_mode=mode,
+            preservation_policy=preservation,
             enable_async_checkpointing=async_save,
         )
         self.manager = ocp.CheckpointManager(directory, options=options)

@@ -425,8 +425,10 @@ class CellViTTrainer:
         eval_every: int = 1,
         early_stopping: Optional[EarlyStopping] = None,
         monitor: str = "bPQ",
+        monitor_mode: Optional[str] = None,
         checkpoint_dir: Optional[Path] = None,
         checkpoint_format: str = "msgpack",
+        max_to_keep: int = 3,
         seed: int = 0,
         log_fn: Optional[Callable[[str], None]] = None,
         start_epoch: int = 0,
@@ -437,10 +439,24 @@ class CellViTTrainer:
         if checkpoint_dir is not None and checkpoint_format == "orbax":
             # TPU-native path: async sharded snapshots; the manager's
             # best-metric retention replaces the explicit model_best copy.
+            # The ranking direction follows EarlyStopping.strategy unless
+            # monitor_mode overrides it (a minimize monitor, e.g. a loss,
+            # must not rank under mode="max" or best-retention keeps the
+            # worst checkpoint and GC's the best).
             from cellvit_tpu.train.checkpoint_orbax import OrbaxCheckpointer
 
+            mode = monitor_mode
+            if mode is None and early_stopping is not None:
+                mode = (
+                    "min"
+                    if early_stopping.strategy == "minimize"
+                    else "max"
+                )
             okpt = OrbaxCheckpointer(
-                Path(checkpoint_dir) / "orbax", monitor=monitor
+                Path(checkpoint_dir) / "orbax",
+                monitor=monitor,
+                mode=mode or "max",
+                max_to_keep=max_to_keep,
             )
         elif checkpoint_format not in ("msgpack", "orbax"):
             raise ValueError(

@@ -128,6 +128,54 @@ def test_retention_keeps_best_and_latest(tmp_path, state_and_trainer):
         assert int(restored.step) == int(state.step)
 
 
+def test_retention_latest_survives_when_metric_worst(tmp_path, state_and_trainer):
+    """ADVICE r3 (high): with BestN-only retention the newest checkpoint was
+    GC'd whenever its metric wasn't top-N, so crash/resume lost recent
+    epochs. LatestN(1) must pin it (base_trainer.py:203-211 semantics)."""
+    state, _, _ = state_and_trainer
+    with OrbaxCheckpointer(
+        tmp_path / "ckpt", max_to_keep=2, monitor="bPQ", async_save=False
+    ) as ck:
+        ck.save(0, state, metrics={"bPQ": 0.9})
+        ck.save(1, state, metrics={"bPQ": 0.8})
+        ck.save(2, state, metrics={"bPQ": 0.1})  # newest AND metric-worst
+        assert ck.latest_step() == 2
+        assert ck.best_step() == 0
+        restored, _ = ck.restore(state)  # default = latest
+        assert int(restored.step) == int(state.step)
+
+
+def test_retention_min_mode_keeps_lowest(tmp_path, state_and_trainer):
+    """ADVICE r3 (medium): a minimize monitor (e.g. a loss) must rank with
+    mode='min' — under 'max' best-retention kept the worst checkpoint."""
+    state, _, _ = state_and_trainer
+    with OrbaxCheckpointer(
+        tmp_path / "ckpt", max_to_keep=1, monitor="loss", mode="min",
+        async_save=False,
+    ) as ck:
+        ck.save(0, state, metrics={"loss": 9.9})
+        ck.save(1, state, metrics={"loss": 0.1})
+        ck.save(2, state, metrics={"loss": 5.0})
+        assert ck.best_step() == 1  # the loss=0.1 step survives GC
+        ck.restore(state, step=1)
+
+
+def test_retention_metricless_saves_bounded(tmp_path, state_and_trainer):
+    """ADVICE r3 (medium): metric-less save_latest() snapshots (non-eval
+    epochs) must be garbage-collected, not accumulate unboundedly."""
+    state, _, _ = state_and_trainer
+    with OrbaxCheckpointer(
+        tmp_path / "ckpt", max_to_keep=2, monitor="bPQ", async_save=False
+    ) as ck:
+        ck.save(0, state, metrics={"bPQ": 0.5})
+        for step in range(1, 6):
+            ck.save(step, state)  # no metrics (non-eval epochs)
+        steps = ck.manager.all_steps()
+        assert ck.latest_step() == 5
+        assert 0 in steps  # metric-best survives
+        assert len(steps) <= 3  # best N=2 + latest, not 6
+
+
 def test_restore_missing_raises(tmp_path, state_and_trainer):
     state, _, _ = state_and_trainer
     with OrbaxCheckpointer(tmp_path / "empty", async_save=False) as ck:
