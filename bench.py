@@ -56,7 +56,9 @@ PITFALL"):
   pipeline (≈2.4 pps, step 3 above) by ≈9×.
 """
 
+import argparse
 import json
+import sys
 import time
 
 import jax
@@ -66,10 +68,14 @@ BASELINE_A100_PPS = 8.0  # derived A100 1024² patches/sec — see module docstr
 BATCH = 8
 TILE = 1024
 WARMUP = 2
-ITERS = 5
+# ≥20 iterations so a ~1% run-to-run spread (21.5 vs 21.7 pps observed in
+# round 3) is resolvable when chasing ≤10% deltas; per-chunk spread goes
+# to stderr, the driver-parsed JSON line stays alone on stdout.
+ITERS = 20
+CHUNK = 5  # chained-dispatch chunk: block once per CHUNK iterations
 
 
-def main() -> None:
+def main(profile_dir: str | None = None) -> None:
     from cellvit_tpu.models import CellViT256
     from cellvit_tpu.models.fused import fused_forward
     from cellvit_tpu.ops.hv_postproc import instance_map_batch
@@ -109,15 +115,35 @@ def main() -> None:
     for _ in range(WARMUP):
         float(forward(variables, x))
 
-    # chained dispatch: queue all iterations, block once on the last scalar.
-    # The device executes in order, so fetching the final result bounds the
-    # whole batch; per-iter tunnel RTT (~30 ms) is amortized away.
-    t0 = time.perf_counter()
-    results = [forward(variables, x) for _ in range(ITERS)]
-    float(results[-1])
-    dt = time.perf_counter() - t0
+    prof_ctx = None
+    if profile_dir is not None:
+        # productized profiling (SURVEY §5): a jax.profiler trace of a few
+        # steady-state steps, viewable in TensorBoard / Perfetto.
+        prof_ctx = jax.profiler.trace(profile_dir)
+        prof_ctx.__enter__()
 
+    # chained dispatch: queue CHUNK iterations, block once per chunk.
+    # The device executes in order, so fetching the chunk's final scalar
+    # bounds the whole chunk; per-iter tunnel RTT (~30 ms) is amortized
+    # away. Per-chunk times give the run-to-run spread.
+    chunk_ms = []
+    for _ in range(ITERS // CHUNK):
+        t0 = time.perf_counter()
+        results = [forward(variables, x) for _ in range(CHUNK)]
+        float(results[-1])
+        chunk_ms.append((time.perf_counter() - t0) / CHUNK * 1e3)
+
+    if prof_ctx is not None:
+        prof_ctx.__exit__(None, None, None)
+        print(f"profile trace written to {profile_dir}", file=sys.stderr)
+
+    dt = sum(chunk_ms) * CHUNK / 1e3
     pps = BATCH * ITERS / dt
+    print(
+        f"per-chunk ms/step: {['%.1f' % m for m in chunk_ms]} "
+        f"(min {min(chunk_ms):.1f}, max {max(chunk_ms):.1f})",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -131,4 +157,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="write a jax.profiler trace of the timed steps to DIR",
+    )
+    main(profile_dir=ap.parse_args().profile)

@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     # implementation here
     parser.add_argument("--patch_size", type=int, default=1024, choices=(256, 1024))
     parser.add_argument("--overlap", type=int, default=64)
+    parser.add_argument(
+        "--profile", type=str, default=None, metavar="DIR",
+        help="write a jax.profiler device trace of each WSI run to DIR "
+        "(per-stage wall timings are always logged + saved to timings.json)",
+    )
 
     subparsers = parser.add_subparsers(dest="command", required=True)
 
@@ -79,6 +84,7 @@ def main() -> None:
             wsi, subdir_name=args.outdir_subdir, geojson=args.geojson,
             magnification=args.magnification,
             patch_size=args.patch_size, overlap=args.overlap,
+            profile_dir=Path(args.profile) if args.profile else None,
         )
 
     if args.command == "process_wsi":

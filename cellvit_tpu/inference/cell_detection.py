@@ -325,8 +325,20 @@ class CellSegmentationInference:
         overlap: int = 64,
         geojson: bool = False,
         magnification: Optional[float] = None,
+        profile_dir: Optional[Path] = None,
     ) -> Path:
-        """Process one preprocessed WSI; returns the output directory."""
+        """Process one preprocessed WSI; returns the output directory.
+
+        Per-stage wall timings (patch load / device forward+postproc /
+        host assembly / dedup / serialization) are logged and written to
+        `timings.json` in the output dir — the observability the reference
+        only sketches (`utils/tools.py:22-40` timers, commented torch
+        profiler hooks in `cell_detection_mp.py:813,831`). `profile_dir`
+        additionally captures a `jax.profiler` device trace of the run.
+        """
+        from cellvit_tpu.utils.tools import Timer, device_trace
+
+        timer = Timer()
         self.logger.info(f"processing WSI {wsi.name}")
         if magnification is None:
             magnification = wsi.metadata.get("magnification") or 40
@@ -354,32 +366,46 @@ class CellSegmentationInference:
         scaling = wsi.metadata["downsampling"]
         token_patch = self.model.patch_size
 
-        for imgs, metadata in loader:
-            batch_instances, tokens = self._predict_batch(imgs, magnification)
-            for idx, (instances, patch_meta) in enumerate(
-                zip(batch_instances, metadata)
-            ):
-                row, col = patch_meta["row"], patch_meta["col"]
-                processed_patches.append(f"{row}_{col}")
-                cells, dets, g_tok, g_pos, g_con = assemble_patch_cells(
-                    instances, tokens[idx], row, col,
-                    patch_size, overlap, scaling, token_patch,
-                )
-                cell_dict_wsi.extend(cells)
-                cell_dict_detection.extend(dets)
-                graph_tokens.extend(g_tok)
-                graph_positions.extend(g_pos)
-                graph_contours.extend(g_con)
+        with device_trace(str(profile_dir) if profile_dir else None):
+            batches = iter(loader)
+            while True:
+                with timer.lap("patch_load"):
+                    item = next(batches, None)
+                if item is None:
+                    break
+                imgs, metadata = item
+                with timer.lap("device_forward_postproc"):
+                    batch_instances, tokens = self._predict_batch(
+                        imgs, magnification
+                    )
+                with timer.lap("host_assembly"):
+                    for idx, (instances, patch_meta) in enumerate(
+                        zip(batch_instances, metadata)
+                    ):
+                        row, col = patch_meta["row"], patch_meta["col"]
+                        processed_patches.append(f"{row}_{col}")
+                        cells, dets, g_tok, g_pos, g_con = assemble_patch_cells(
+                            instances, tokens[idx], row, col,
+                            patch_size, overlap, scaling, token_patch,
+                        )
+                        cell_dict_wsi.extend(cells)
+                        cell_dict_detection.extend(dets)
+                        graph_tokens.extend(g_tok)
+                        graph_positions.extend(g_pos)
+                        graph_contours.extend(g_con)
 
         self.logger.info(f"detected cells before cleaning: {len(cell_dict_wsi)}")
+        timer.start("dedup")
         keep_idx = dd.CellPostProcessor(cell_dict_wsi, self.logger).post_process_cells()
         cell_dict_wsi = [cell_dict_wsi[i] for i in keep_idx]
         cell_dict_detection = [cell_dict_detection[i] for i in keep_idx]
         graph_tokens = [graph_tokens[i] for i in keep_idx]
         graph_positions = [graph_positions[i] for i in keep_idx]
         graph_contours = [graph_contours[i] for i in keep_idx]
+        timer.stop("dedup")
         self.logger.info(f"detected cells after cleaning: {len(keep_idx)}")
 
+        timer.start("serialize")
         outdir = wsi.patched_slide_path / "cell_detection"
         if subdir_name:
             outdir = outdir / subdir_name
@@ -424,6 +450,18 @@ class CellSegmentationInference:
             torch.save(graph, outdir / "cells.pt")
         except ImportError:
             self.logger.warning("torch unavailable — skipping cells.pt graph")
+        timer.stop("serialize")
 
+        timings = {k: round(v, 4) for k, v in timer.summary().items()}
+        n = max(len(processed_patches), 1)
+        self.logger.info(
+            "stage timings (s): "
+            + ", ".join(f"{k}={v:.2f}" for k, v in timings.items())
+            + f" | {timings.get('device_forward_postproc', 0.0) / n * 1e3:.1f}"
+            f" ms/patch device"
+        )
+        (outdir / "timings.json").write_text(
+            json.dumps({"stages_s": timings, "n_patches": len(processed_patches)})
+        )
         self.logger.info(f"results written to {outdir}")
         return outdir

@@ -210,7 +210,10 @@ def detection_run(preprocessed_wsi):
 
     inf.variables = {}
     inf._forward = forward
-    outdir = inf.process_wsi(wsi, patch_size=256, overlap=64, geojson=True)
+    outdir = inf.process_wsi(
+        wsi, patch_size=256, overlap=64, geojson=True,
+        profile_dir=patched / "trace",
+    )
     return wsi, outdir
 
 
@@ -227,6 +230,21 @@ def test_detection_outputs_valid(detection_run):
     gj = json.loads((outdir / "cells.geojson").read_text())
     assert gj and gj[0]["geometry"]["type"] == "MultiPolygon"
     assert (outdir / "cells.pt").exists()
+
+
+def test_detection_emits_timings_and_trace(detection_run):
+    """SURVEY §5 observability: process_wsi writes per-stage wall timings
+    and (with profile_dir) a jax.profiler device trace."""
+    wsi, outdir = detection_run
+    timings = json.loads((outdir / "timings.json").read_text())
+    stages = timings["stages_s"]
+    for key in ("patch_load", "device_forward_postproc", "host_assembly",
+                "dedup", "serialize"):
+        assert key in stages and stages[key] >= 0.0, key
+    assert timings["n_patches"] > 0
+    trace_dir = wsi.patched_slide_path / "trace"
+    # jax.profiler writes plugins/profile/<ts>/*.trace.json.gz (or .xplane.pb)
+    assert any(trace_dir.rglob("*.*")), "no profiler trace artifacts"
 
 
 def test_detection_recovers_cells_once(detection_run):
