@@ -246,6 +246,12 @@ class PILReader:
 
 WSI_SUFFIXES = {".svs", ".tif", ".tiff", ".ndpi", ".scn"}
 
+#: NDPI (Hamamatsu) and SCN (Leica) are parsed natively: NDPI via a custom
+#: TIFF-like parser (SourceLens pyramid, >4 GiB wrapped-offset
+#: reconstruction, libjpeg strip decode), SCN via libtiff (BigTIFF) with
+#: the collection XML selecting the main image's directories. Fixture
+#: round-trip tests: tests/test_wsi_formats.py.
+
 #: Reference WSI_EXT formats (configs/python/config.py:10-19) that are NOT
 #: TIFF containers — they need OpenSlide's vendor drivers, which the native
 #: libtiff reader cannot provide. Rejected with a clear message rather than
@@ -288,6 +294,284 @@ def write_test_pyramid(
     )
     if rc != 0:
         raise IOError(f"wsi_write_pyramid failed rc={rc}")
+
+
+def write_test_ndpi(
+    path: str,
+    rgb: np.ndarray,
+    mpp: float = 0.25,
+    magnification: float = 40.0,
+    n_levels: int = 2,
+    compression: str = "jpeg",
+    include_macro: bool = True,
+    huge_offsets: bool = False,
+) -> None:
+    """Write a synthetic Hamamatsu-style NDPI (test fixture support).
+
+    Real NDPI traits reproduced (OpenSlide's hamamatsu driver is the
+    behavioral reference — the formats behind WSI_EXT,
+    /root/reference/configs/python/config.py:10-19):
+
+    * classic little-endian TIFF container with the NDPI marker tag
+      (65420) on every IFD and SourceLens (65421, FLOAT) keying the
+      pyramid: the objective power per level, −1 for the macro camera
+      image;
+    * one full-height strip per level (RowsPerStrip = ImageLength),
+      JPEG-compressed (or raw for exact round-trips);
+    * resolution as px/cm RATIONALs;
+    * ``huge_offsets``: pixel data placed above 4 GiB with only the
+      wrapped low 32 bits stored in the IFD — the layout that makes real
+      >4 GiB NDPIs invalid TIFF. The file is written sparsely (holes),
+      so it occupies ~the strip bytes on disk.
+    """
+    import io
+    import struct
+
+    from PIL import Image
+
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    levels = [rgb]
+    for _ in range(n_levels - 1):
+        prev = levels[-1]
+        h2, w2 = prev.shape[0] // 2, prev.shape[1] // 2
+        if min(h2, w2) < 1:
+            break
+        levels.append(
+            prev[: h2 * 2, : w2 * 2]
+            .reshape(h2, 2, w2, 2, 3)
+            .mean((1, 3))
+            .astype(np.uint8)
+        )
+
+    def strip_bytes(arr: np.ndarray) -> Tuple[bytes, int, int]:
+        """(data, compression tag, photometric)."""
+        if compression == "jpeg":
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(
+                buf, format="JPEG", quality=95, subsampling=0
+            )
+            return buf.getvalue(), 7, 6
+        return arr.tobytes(), 1, 2
+
+    dirs = []  # (w, h, source_lens, strip data, comp, photometric)
+    for i, lv in enumerate(levels):
+        data, comp, photo = strip_bytes(lv)
+        dirs.append(
+            (lv.shape[1], lv.shape[0], magnification / (2**i), data, comp,
+             photo)
+        )
+    if include_macro:
+        macro = np.full((24, 48, 3), 200, np.uint8)
+        macro[8:16, 8:40] = (90, 60, 120)
+        data, comp, photo = strip_bytes(macro)
+        dirs.append((48, 24, -1.0, data, comp, photo))
+
+    px_per_cm = 10000.0 / mpp
+
+    def build_ifd(w, h, lens, comp, photo, strip_off, strip_cnt, ifd_off,
+                  next_off):
+        """IFD + trailing aux values (bits, xres, yres); offsets stored
+        wrapped to 32 bits (the NDPI >4 GiB convention)."""
+        n = 14
+        ifd_size = 2 + n * 12 + 4
+        bits_off = ifd_off + ifd_size
+        xres_off = bits_off + 6
+        yres_off = xres_off + 8
+
+        def e(tag, typ, cnt, val4):
+            return struct.pack("<HHI", tag, typ, cnt) + val4
+
+        lo = lambda v: struct.pack("<I", v & 0xFFFFFFFF)
+        sh = lambda v: struct.pack("<HH", v, 0)
+        entries = [
+            e(256, 4, 1, lo(w)),
+            e(257, 4, 1, lo(h)),
+            e(258, 3, 3, lo(bits_off)),
+            e(259, 3, 1, sh(comp)),
+            e(262, 3, 1, sh(photo)),
+            e(273, 4, 1, lo(strip_off)),
+            e(277, 3, 1, sh(3)),
+            e(278, 4, 1, lo(h)),
+            e(279, 4, 1, lo(strip_cnt)),
+            e(282, 5, 1, lo(xres_off)),
+            e(283, 5, 1, lo(yres_off)),
+            e(296, 3, 1, sh(3)),  # centimetre
+            e(65420, 4, 1, lo(1)),  # NDPI marker
+            e(65421, 11, 1, struct.pack("<f", lens)),  # SourceLens
+        ]
+        body = struct.pack("<H", n) + b"".join(entries) + struct.pack(
+            "<I", next_off & 0xFFFFFFFF
+        )
+        aux = (
+            struct.pack("<3H", 8, 8, 8)
+            + struct.pack("<II", round(px_per_cm * 1000), 1000)
+            + struct.pack("<II", round(px_per_cm * 1000), 1000)
+        )
+        return body + aux
+
+    # placement: IFD, aux, then strip data — each value within 4 GiB above
+    # its directory (the monotonic window the wrapped-offset reconstruction
+    # assumes). huge_offsets puts dir 0 just below the 4 GiB boundary and
+    # its strip just above it, so every level-0 offset wraps.
+    GIB4 = 1 << 32
+    aux_size = 6 + 8 + 8
+    placements = []  # (ifd_off, strip_off, next_ifd_off)
+    pos = GIB4 - 8192 if huge_offsets else 8
+    for i, (w, h, lens, data, comp, photo) in enumerate(dirs):
+        ifd_size = 2 + 14 * 12 + 4
+        ifd_off = pos
+        if huge_offsets and i == 0:
+            strip_off = GIB4 + 256
+        else:
+            strip_off = ifd_off + ifd_size + aux_size
+        end = strip_off + len(data)
+        pos = (end + 1) & ~1
+        placements.append([ifd_off, strip_off, 0])
+    for i in range(len(dirs) - 1):
+        placements[i][2] = placements[i + 1][0]
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, placements[0][0] & 0xFFFFFFFF))
+        for (w, h, lens, data, comp, photo), (ifd_off, strip_off, nxt) in zip(
+            dirs, placements
+        ):
+            f.seek(ifd_off)
+            f.write(build_ifd(w, h, lens, comp, photo, strip_off, len(data),
+                              ifd_off, nxt))
+            f.seek(strip_off)
+            f.write(data)
+
+
+def write_test_scn(
+    path: str,
+    rgb: np.ndarray,
+    tile_size: int = 64,
+    n_levels: int = 2,
+    mpp: float = 0.25,
+    magnification: float = 40.0,
+) -> None:
+    """Write a synthetic Leica-style SCN (test fixture support).
+
+    Real SCN traits reproduced: BigTIFF container whose dir-0
+    ImageDescription carries the collection XML (Leica 2010/10 namespace);
+    a macro camera image covering the whole collection plus a main scanned
+    region whose pyramid levels are <dimension ifd="N"/> references; view
+    geometry in nanometres (mpp = view-nm / pixels / 1000); objective
+    power under scanSettings. Tiles here are uncompressed (real SCN uses
+    JPEG tiles — both go through libtiff's tiled read path).
+    """
+    import struct
+
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    levels = [rgb]
+    for _ in range(n_levels - 1):
+        prev = levels[-1]
+        h2, w2 = prev.shape[0] // 2, prev.shape[1] // 2
+        if min(h2, w2) < 1:
+            break
+        levels.append(
+            prev[: h2 * 2, : w2 * 2]
+            .reshape(h2, 2, w2, 2, 3)
+            .mean((1, 3))
+            .astype(np.uint8)
+        )
+    macro = np.full((32, 64, 3), 230, np.uint8)
+    macro[10:20, 10:50] = (120, 80, 140)
+
+    h0, w0 = rgb.shape[:2]
+    view_w_nm = w0 * mpp * 1000.0
+    view_h_nm = h0 * mpp * 1000.0
+    coll_w_nm, coll_h_nm = view_w_nm * 4, view_h_nm * 4
+    dim_xml = "".join(
+        f'<dimension sizeX="{lv.shape[1]}" sizeY="{lv.shape[0]}" r="{i}" '
+        f'ifd="{i + 1}"/>'
+        for i, lv in enumerate(levels)
+    )
+    xml = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        '<scn xmlns="http://www.leica-microsystems.com/scn/2010/10/01">'
+        f'<collection sizeX="{coll_w_nm:.0f}" sizeY="{coll_h_nm:.0f}">'
+        '<image name="macro"><view sizeX="%.0f" sizeY="%.0f" offsetX="0" '
+        'offsetY="0"/><pixels sizeX="%d" sizeY="%d">'
+        '<dimension sizeX="%d" sizeY="%d" r="0" ifd="0"/></pixels></image>'
+        % (coll_w_nm, coll_h_nm, macro.shape[1], macro.shape[0],
+           macro.shape[1], macro.shape[0])
+        + f'<image name="main"><view sizeX="{view_w_nm:.0f}" '
+        f'sizeY="{view_h_nm:.0f}" offsetX="{view_w_nm:.0f}" '
+        f'offsetY="{view_h_nm:.0f}"/>'
+        f'<pixels sizeX="{w0}" sizeY="{h0}">{dim_xml}</pixels>'
+        '<scanSettings><objectiveSettings>'
+        f'<objective>{magnification:g}</objective>'
+        '</objectiveSettings></scanSettings></image></collection></scn>'
+    ).encode()
+
+    out = bytearray()
+    out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0)  # first IFD patched
+    patch_pos, patch_fmt = 8, "<Q"
+
+    def tiles_of(lv: np.ndarray):
+        th, tw = tile_size, tile_size
+        for ty in range(0, lv.shape[0], th):
+            for tx in range(0, lv.shape[1], tw):
+                tile = np.full((th, tw, 3), 255, np.uint8)
+                sub = lv[ty : ty + th, tx : tx + tw]
+                tile[: sub.shape[0], : sub.shape[1]] = sub
+                yield tile.tobytes()
+
+    images = [macro] + levels
+    for di, lv in enumerate(images):
+        h, w = lv.shape[:2]
+        offs, cnts = [], []
+        for blob in tiles_of(lv):
+            offs.append(len(out))
+            cnts.append(len(blob))
+            out += blob
+        desc_off = len(out)
+        if di == 0:
+            out += xml + b"\0"
+        if len(out) % 2:
+            out += b"\0"
+
+        def arr8(vals):
+            nonlocal out
+            if len(vals) == 1:
+                return struct.pack("<Q", vals[0])
+            off = len(out)
+            out += struct.pack(f"<{len(vals)}Q", *vals)
+            return struct.pack("<Q", off)
+
+        offs_val = arr8(offs)
+        cnts_val = arr8(cnts)
+        ifd_pos = len(out)
+        struct.pack_into(patch_fmt, out, patch_pos, ifd_pos)
+
+        def e(tag, typ, cnt, val8):
+            return struct.pack("<HHQ", tag, typ, cnt) + val8
+
+        q = lambda v: struct.pack("<Q", v)
+        sh = lambda v: struct.pack("<HHHH", v, 0, 0, 0)
+        entries = [
+            e(256, 4, 1, q(w)),
+            e(257, 4, 1, q(h)),
+            e(258, 3, 3, struct.pack("<4H", 8, 8, 8, 0)),
+            e(259, 3, 1, sh(1)),
+            e(262, 3, 1, sh(2)),
+        ]
+        if di == 0:
+            entries.append(e(270, 2, len(xml) + 1, q(desc_off)))
+        entries += [
+            e(277, 3, 1, sh(3)),
+            e(284, 3, 1, sh(1)),
+            e(322, 4, 1, q(tile_size)),
+            e(323, 4, 1, q(tile_size)),
+            e(324, 16, len(offs), offs_val),
+            e(325, 16, len(cnts), cnts_val),
+        ]
+        out += struct.pack("<Q", len(entries)) + b"".join(entries)
+        patch_pos = len(out)
+        patch_fmt = "<Q"
+        out += struct.pack("<Q", 0)
+    Path(path).write_bytes(bytes(out))
 
 
 def write_test_j2k_pyramid(

@@ -17,10 +17,16 @@
 // cellvit_tpu/preprocessing/wsi_reader.py via ctypes.
 
 #include <dlfcn.h>
+#include <stdio.h>  // jpeglib.h needs FILE declared first
+
+#include <jpeglib.h>
 #include <tiffio.h>
 
 #include <algorithm>
+#include <array>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <string>
@@ -41,8 +47,11 @@ struct Level {
   bool tiled;
 };
 
+struct NdpiFile;  // Hamamatsu NDPI custom parser (below)
+
 struct WsiHandle {
   TIFF* tif = nullptr;
+  NdpiFile* ndpi = nullptr;
   std::vector<Level> levels;
   double mpp = 0.0;
   double magnification = 0.0;
@@ -252,16 +261,517 @@ bool decode_j2k(const uint8_t* buf, size_t len, bool ycbcr,
   return ok;
 }
 
+// ===== JPEG decode (libjpeg) ===============================================
+// NDPI pyramid levels are whole-level JPEG strips; SCN tiles are JPEG too
+// (those go through libtiff's JPEG codec). Output is always top-down RGB8.
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr c) {
+  longjmp(reinterpret_cast<JpegErr*>(c->err)->jb, 1);
+}
+
+bool decode_jpeg_rgb(const uint8_t* buf, size_t len, std::vector<uint8_t>& rgb,
+                     uint32_t* out_w, uint32_t* out_h) {
+  jpeg_decompress_struct c;
+  JpegErr e;
+  c.err = jpeg_std_error(&e.mgr);
+  e.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(e.jb)) {
+    jpeg_destroy_decompress(&c);
+    return false;
+  }
+  jpeg_create_decompress(&c);
+  jpeg_mem_src(&c, const_cast<unsigned char*>(buf),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&c, TRUE);
+  c.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&c);
+  *out_w = c.output_width;
+  *out_h = c.output_height;
+  rgb.resize(size_t(*out_w) * *out_h * 3);
+  while (c.output_scanline < c.output_height) {
+    JSAMPROW row = rgb.data() + size_t(c.output_scanline) * *out_w * 3;
+    jpeg_read_scanlines(&c, &row, 1);
+  }
+  jpeg_finish_decompress(&c);
+  jpeg_destroy_decompress(&c);
+  return true;
+}
+
+// ===== Hamamatsu NDPI ======================================================
+// NDPI is TIFF-shaped but not valid TIFF (OpenSlide reads it through its
+// own tifflike parser, not libtiff): files over 4 GiB keep 32-bit
+// IFD/value/strip offsets whose high bits must be reconstructed, pyramid
+// levels are full-height JPEG strips, and the pyramid is keyed by the
+// SourceLens tag (65421): positive values are objective powers, -1 is the
+// macro camera image, -2 the slide map. Reference scope: OpenSlide's
+// hamamatsu driver behind patch_extraction.py:591 / configs WSI_EXT.
+
+constexpr uint16_t kNdpiTagMarker = 65420;      // present on every NDPI IFD
+constexpr uint16_t kNdpiTagSourceLens = 65421;  // objective power / -1 / -2
+
+struct NdpiStrip {
+  uint64_t offset = 0;
+  uint64_t count = 0;
+};
+
+struct NdpiDir {
+  uint32_t width = 0, height = 0, rows_per_strip = 0;
+  uint16_t compression = 1, spp = 3, bits = 8;
+  double source_lens = 0.0, xres = 0.0;
+  uint16_t res_unit = RESUNIT_NONE;
+  bool has_marker = false;
+  std::vector<NdpiStrip> strips;
+};
+
+struct NdpiFile {
+  FILE* f = nullptr;
+  uint64_t size = 0;
+  std::vector<NdpiDir> dirs;
+  std::vector<int> level_dirs;  // indices into `dirs`, width-descending
+  double mpp = 0.0, magnification = 0.0;
+  int cached_level = -1;
+  std::vector<uint8_t> cache;  // RGB8 raster of the cached level
+};
+
+uint16_t le16(const uint8_t* p) { return uint16_t(p[0] | (p[1] << 8)); }
+uint32_t le32(const uint8_t* p) {
+  return uint32_t(p[0]) | (uint32_t(p[1]) << 8) | (uint32_t(p[2]) << 16) |
+         (uint32_t(p[3]) << 24);
+}
+uint64_t le64(const uint8_t* p) {
+  return uint64_t(le32(p)) | (uint64_t(le32(p + 4)) << 32);
+}
+
+bool file_read(FILE* f, uint64_t off, void* buf, size_t n) {
+  return fseeko(f, off_t(off), SEEK_SET) == 0 && fread(buf, 1, n, f) == n;
+}
+
+// Reconstruct a wrapped 32-bit NDPI offset in a >4 GiB file: take the high
+// bits from the 64-bit offset of the directory the value belongs to; a
+// result below the directory is assumed to lie in the next 4 GiB window
+// (the same monotonic-offsets assumption OpenSlide's tifflike parser makes
+// for NDPI).
+uint64_t ndpi_fix_offset(uint64_t v, uint64_t diroff, bool huge) {
+  if (!huge) return v;
+  uint64_t x = (diroff & ~uint64_t(0xFFFFFFFFu)) | (v & 0xFFFFFFFFu);
+  if (x < diroff) x += uint64_t(1) << 32;
+  return x;
+}
+
+size_t tiff_type_size(uint16_t t) {
+  switch (t) {
+    case 1: case 2: case 6: case 7: return 1;   // BYTE ASCII SBYTE UNDEF
+    case 3: case 8: return 2;                   // SHORT SSHORT
+    case 4: case 9: case 11: return 4;          // LONG SLONG FLOAT
+    case 5: case 10: case 12: return 8;         // RATIONAL SRATIONAL DOUBLE
+    default: return 0;
+  }
+}
+
+// Fetch an IFD entry's raw value bytes (inline or via a fixed offset).
+bool ndpi_value_bytes(NdpiFile* nd, uint64_t diroff, bool huge, uint16_t type,
+                      uint32_t count, const uint8_t inline_val[4],
+                      std::vector<uint8_t>& out) {
+  size_t esz = tiff_type_size(type);
+  if (esz == 0 || count > (1u << 24)) return false;
+  size_t total = esz * count;
+  out.resize(total);
+  if (total <= 4) {
+    memcpy(out.data(), inline_val, total);
+    return true;
+  }
+  uint64_t off = ndpi_fix_offset(le32(inline_val), diroff, huge);
+  return file_read(nd->f, off, out.data(), total);
+}
+
+double ndpi_num_at(const std::vector<uint8_t>& raw, uint16_t type, size_t i) {
+  const uint8_t* p = raw.data() + tiff_type_size(type) * i;
+  switch (type) {
+    case 1: case 2: case 7: return *p;
+    case 6: return int8_t(*p);
+    case 3: return le16(p);
+    case 8: return int16_t(le16(p));
+    case 4: return le32(p);
+    case 9: return int32_t(le32(p));
+    case 11: {
+      uint32_t b = le32(p);
+      float fv;
+      memcpy(&fv, &b, 4);
+      return fv;
+    }
+    case 5: {
+      uint32_t den = le32(p + 4);
+      return den ? double(le32(p)) / den : 0.0;
+    }
+    case 10: {
+      int32_t den = int32_t(le32(p + 4));
+      return den ? double(int32_t(le32(p))) / den : 0.0;
+    }
+    case 12: {
+      uint64_t b = le64(p);
+      double dv;
+      memcpy(&dv, &b, 8);
+      return dv;
+    }
+    default: return 0.0;
+  }
+}
+
+void ndpi_close(NdpiFile* nd) {
+  if (!nd) return;
+  if (nd->f) fclose(nd->f);
+  delete nd;
+}
+
+NdpiFile* ndpi_open(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* nd = new NdpiFile();
+  nd->f = f;
+  if (fseeko(f, 0, SEEK_END) != 0) {
+    ndpi_close(nd);
+    return nullptr;
+  }
+  nd->size = uint64_t(ftello(f));
+  const bool huge = nd->size > 0xFFFFFFFFull;
+  uint8_t hdr[8];
+  if (!file_read(f, 0, hdr, 8) || hdr[0] != 'I' || hdr[1] != 'I' ||
+      le16(hdr + 2) != 42) {  // NDPI is always classic little-endian TIFF
+    ndpi_close(nd);
+    return nullptr;
+  }
+  uint64_t diroff = le32(hdr + 4);
+  std::vector<uint8_t> raw;
+  for (int n_dirs = 0; diroff != 0 && n_dirs < 256; n_dirs++) {
+    uint8_t cntb[2];
+    if (!file_read(f, diroff, cntb, 2)) break;
+    uint16_t n_entries = le16(cntb);
+    std::vector<uint8_t> entries(size_t(n_entries) * 12 + 4);
+    if (!file_read(f, diroff + 2, entries.data(), entries.size())) break;
+    NdpiDir dir;
+    std::vector<uint64_t> strip_offs, strip_cnts;
+    for (uint16_t i = 0; i < n_entries; i++) {
+      const uint8_t* e = entries.data() + size_t(i) * 12;
+      uint16_t tag = le16(e), type = le16(e + 2);
+      uint32_t count = le32(e + 4);
+      const uint8_t* val = e + 8;
+      auto get1 = [&]() -> double {
+        if (!ndpi_value_bytes(nd, diroff, huge, type, count, val, raw) ||
+            count < 1)
+          return 0.0;
+        return ndpi_num_at(raw, type, 0);
+      };
+      switch (tag) {
+        case 256: dir.width = uint32_t(get1()); break;
+        case 257: dir.height = uint32_t(get1()); break;
+        case 258: dir.bits = uint16_t(get1()); break;
+        case 259: dir.compression = uint16_t(get1()); break;
+        case 277: dir.spp = uint16_t(get1()); break;
+        case 278: dir.rows_per_strip = uint32_t(get1()); break;
+        case 282: dir.xres = get1(); break;
+        case 296: dir.res_unit = uint16_t(get1()); break;
+        case kNdpiTagMarker: dir.has_marker = true; break;
+        case kNdpiTagSourceLens: dir.source_lens = get1(); break;
+        case 273:
+        case 279: {
+          if (!ndpi_value_bytes(nd, diroff, huge, type, count, val, raw))
+            break;
+          auto& dst = (tag == 273) ? strip_offs : strip_cnts;
+          dst.resize(count);
+          for (uint32_t j = 0; j < count; j++)
+            dst[j] = uint64_t(ndpi_num_at(raw, type, j));
+          break;
+        }
+        default: break;
+      }
+    }
+    if (strip_offs.size() == strip_cnts.size()) {
+      dir.strips.resize(strip_offs.size());
+      for (size_t j = 0; j < strip_offs.size(); j++) {
+        dir.strips[j].offset = ndpi_fix_offset(strip_offs[j], diroff, huge);
+        dir.strips[j].count = strip_cnts[j];
+      }
+    }
+    if (dir.width && dir.height) nd->dirs.push_back(std::move(dir));
+    uint64_t next = le32(entries.data() + size_t(n_entries) * 12);
+    diroff = next ? ndpi_fix_offset(next, diroff, huge) : 0;
+  }
+  bool any_marker = false;
+  for (const auto& d : nd->dirs) any_marker |= d.has_marker;
+  if (nd->dirs.empty() || !any_marker) {
+    // not an NDPI (caller falls back to the libtiff path)
+    ndpi_close(nd);
+    return nullptr;
+  }
+  for (int i = 0; i < int(nd->dirs.size()); i++) {
+    if (nd->dirs[i].source_lens > 0) nd->level_dirs.push_back(i);
+  }
+  std::sort(nd->level_dirs.begin(), nd->level_dirs.end(), [&](int a, int b) {
+    return nd->dirs[a].width > nd->dirs[b].width;
+  });
+  if (nd->level_dirs.empty()) {
+    ndpi_close(nd);
+    return nullptr;
+  }
+  const NdpiDir& d0 = nd->dirs[nd->level_dirs[0]];
+  nd->magnification = d0.source_lens;
+  if (d0.xres > 0) {
+    if (d0.res_unit == RESUNIT_CENTIMETER) nd->mpp = 10000.0 / d0.xres;
+    else if (d0.res_unit == RESUNIT_INCH) nd->mpp = 25400.0 / d0.xres;
+  }
+  return nd;
+}
+
+// Decode a whole NDPI level into the handle cache (NDPI has no tile
+// geometry — levels are one full-height JPEG strip — so random access
+// decodes the level once; the 512 MPix bound keeps that sane. Full-res
+// region reads on multi-gigapixel slides need the restart-marker index
+// (tag 65426) fast path, which is not implemented — documented in
+// PARITY.md).
+int ndpi_load_level(NdpiFile* nd, int level) {
+  if (nd->cached_level == level) return 0;
+  const NdpiDir& d = nd->dirs[nd->level_dirs[level]];
+  if (uint64_t(d.width) * d.height > uint64_t(512) * 1024 * 1024) return 4;
+  nd->cache.assign(size_t(d.width) * d.height * 3, 255);
+  nd->cached_level = -1;
+  uint32_t rps = d.rows_per_strip ? d.rows_per_strip : d.height;
+  std::vector<uint8_t> raw, jrgb;
+  for (size_t s = 0; s < d.strips.size(); s++) {
+    uint64_t y0 = uint64_t(s) * rps;
+    if (y0 >= d.height) break;
+    uint32_t rows = uint32_t(std::min<uint64_t>(rps, d.height - y0));
+    const NdpiStrip& st = d.strips[s];
+    if (st.count == 0 || st.offset + st.count > nd->size) return 5;
+    raw.resize(size_t(st.count));
+    if (!file_read(nd->f, st.offset, raw.data(), raw.size())) return 5;
+    uint8_t* dst = nd->cache.data() + size_t(y0) * d.width * 3;
+    if (d.compression == COMPRESSION_NONE) {
+      if (d.bits != 8) return 7;
+      if (d.spp == 3) {
+        size_t need = size_t(rows) * d.width * 3;
+        if (raw.size() < need) return 5;
+        memcpy(dst, raw.data(), need);
+      } else if (d.spp == 1) {
+        size_t need = size_t(rows) * d.width;
+        if (raw.size() < need) return 5;
+        for (size_t i = 0; i < need; i++) {
+          dst[i * 3] = dst[i * 3 + 1] = dst[i * 3 + 2] = raw[i];
+        }
+      } else {
+        return 7;
+      }
+    } else if (d.compression == COMPRESSION_JPEG) {
+      uint32_t jw = 0, jh = 0;
+      if (!decode_jpeg_rgb(raw.data(), raw.size(), jrgb, &jw, &jh)) return 5;
+      uint32_t cw = std::min(jw, d.width);
+      uint32_t ch = std::min(jh, rows);
+      for (uint32_t yy = 0; yy < ch; yy++) {
+        memcpy(dst + size_t(yy) * d.width * 3,
+               jrgb.data() + size_t(yy) * jw * 3, size_t(cw) * 3);
+      }
+    } else {
+      return 7;
+    }
+  }
+  nd->cached_level = level;
+  return 0;
+}
+
+int ndpi_read_region(NdpiFile* nd, int level, int64_t x0, int64_t y0,
+                     uint32_t out_w, uint32_t out_h, uint8_t* out) {
+  if (level < 0 || level >= int(nd->level_dirs.size())) return 1;
+  memset(out, 255, size_t(out_w) * out_h * 3);
+  int rc = ndpi_load_level(nd, level);
+  if (rc != 0) return rc;
+  const NdpiDir& d = nd->dirs[nd->level_dirs[level]];
+  for (int64_t yy = (y0 < 0 ? 0 : y0);
+       yy < y0 + int64_t(out_h) && yy < int64_t(d.height); yy++) {
+    int64_t cx0 = x0 < 0 ? 0 : x0;
+    int64_t cx1 = std::min<int64_t>(x0 + int64_t(out_w), d.width);
+    if (cx1 <= cx0) continue;
+    memcpy(out + (size_t(yy - y0) * out_w + (cx0 - x0)) * 3,
+           nd->cache.data() + (size_t(yy) * d.width + cx0) * 3,
+           size_t(cx1 - cx0) * 3);
+  }
+  return 0;
+}
+
+// ===== Leica SCN ===========================================================
+// SCN is a BigTIFF container (libtiff decodes the tiled-JPEG directories
+// natively); the collection layout lives in a dir-0 ImageDescription XML:
+// a macro camera image plus one or more scanned regions, each a <image>
+// with <view> placement (nanometres), <pixels><dimension ... ifd="N"/>
+// pyramid levels, and objective metadata. The aspect-ratio heuristic used
+// for generic pyramids is wrong for these multi-image containers, so the
+// level table comes from the XML (OpenSlide's leica driver semantics).
+
+size_t xml_find_tag(const std::string& s, const char* elem, size_t from,
+                    size_t to) {
+  std::string pat = std::string("<") + elem;
+  size_t p = s.find(pat, from);
+  while (p != std::string::npos && p + pat.size() < to) {
+    char c = s[p + pat.size()];
+    if (c == ' ' || c == '>' || c == '/' || c == '\t' || c == '\n' ||
+        c == '\r')
+      return p;
+    p = s.find(pat, p + 1);
+  }
+  return std::string::npos;
+}
+
+bool xml_attr_num(const std::string& s, size_t tagpos, const char* attr,
+                  double* out) {
+  size_t end = s.find('>', tagpos);
+  if (end == std::string::npos) return false;
+  std::string pat = std::string(attr) + "=\"";
+  size_t p = s.find(pat, tagpos);
+  if (p == std::string::npos || p > end) return false;
+  *out = atof(s.c_str() + p + pat.size());
+  return true;
+}
+
+double xml_elem_num(const std::string& s, const char* elem, size_t from,
+                    size_t to) {
+  size_t p = xml_find_tag(s, elem, from, to);
+  if (p == std::string::npos) return 0.0;
+  size_t gt = s.find('>', p);
+  if (gt == std::string::npos || gt + 1 >= to) return 0.0;
+  return atof(s.c_str() + gt + 1);
+}
+
+bool scn_parse(WsiHandle* h, const std::string& xml) {
+  struct ScnImage {
+    double view_w = 0, view_h = 0, view_x = 0, view_y = 0;
+    double px_w = 0, px_h = 0, objective = 0;
+    std::vector<std::array<uint64_t, 3>> dims;  // (sizeX, sizeY, ifd)
+  };
+  double coll_w = 0, coll_h = 0;
+  size_t coll = xml_find_tag(xml, "collection", 0, xml.size());
+  if (coll != std::string::npos) {
+    xml_attr_num(xml, coll, "sizeX", &coll_w);
+    xml_attr_num(xml, coll, "sizeY", &coll_h);
+  }
+  std::vector<ScnImage> images;
+  size_t pos = 0;
+  while (true) {
+    size_t p = xml_find_tag(xml, "image", pos, xml.size());
+    if (p == std::string::npos) break;
+    size_t end = xml.find("</image>", p);
+    if (end == std::string::npos) end = xml.size();
+    pos = end + 1;
+    ScnImage img;
+    size_t view = xml_find_tag(xml, "view", p, end);
+    if (view != std::string::npos) {
+      xml_attr_num(xml, view, "sizeX", &img.view_w);
+      xml_attr_num(xml, view, "sizeY", &img.view_h);
+      xml_attr_num(xml, view, "offsetX", &img.view_x);
+      xml_attr_num(xml, view, "offsetY", &img.view_y);
+    }
+    size_t px = xml_find_tag(xml, "pixels", p, end);
+    if (px == std::string::npos) continue;
+    xml_attr_num(xml, px, "sizeX", &img.px_w);
+    xml_attr_num(xml, px, "sizeY", &img.px_h);
+    img.objective = xml_elem_num(xml, "objective", p, end);
+    size_t dpos = px;
+    while (true) {
+      size_t dp = xml_find_tag(xml, "dimension", dpos, end);
+      if (dp == std::string::npos) break;
+      dpos = dp + 1;
+      double sx = 0, sy = 0, ifd = -1, zplane = 0;
+      xml_attr_num(xml, dp, "sizeX", &sx);
+      xml_attr_num(xml, dp, "sizeY", &sy);
+      xml_attr_num(xml, dp, "ifd", &ifd);
+      xml_attr_num(xml, dp, "z", &zplane);  // keep focal plane 0 only
+      if (ifd < 0 || sx <= 0 || zplane != 0) continue;
+      bool dup = false;
+      for (auto& d : img.dims) dup |= (d[0] == uint64_t(sx));
+      if (!dup)
+        img.dims.push_back({uint64_t(sx), uint64_t(sy), uint64_t(ifd)});
+    }
+    if (!img.dims.empty()) images.push_back(std::move(img));
+  }
+  if (images.empty()) return false;
+  // the macro camera image covers the whole collection from its origin;
+  // scanned regions don't. Main image = largest non-macro by pixel width.
+  const ScnImage* main_img = nullptr;
+  for (const auto& img : images) {
+    bool is_macro = coll_w > 0 && img.view_x == 0 && img.view_y == 0 &&
+                    img.view_w == coll_w && img.view_h == coll_h;
+    if (is_macro && images.size() > 1) continue;
+    if (!main_img || img.px_w > main_img->px_w) main_img = &img;
+  }
+  if (!main_img) main_img = &images[0];
+  std::vector<std::array<uint64_t, 3>> dims = main_img->dims;
+  std::sort(dims.begin(), dims.end(),
+            [](const auto& a, const auto& b) { return a[0] > b[0]; });
+  std::vector<Level> levels;
+  for (const auto& dd : dims) {
+    if (!TIFFSetDirectory(h->tif, tdir_t(dd[2]))) return false;
+    uint32_t w = 0, ht = 0;
+    TIFFGetField(h->tif, TIFFTAG_IMAGEWIDTH, &w);
+    TIFFGetField(h->tif, TIFFTAG_IMAGELENGTH, &ht);
+    if (w == 0 || ht == 0) return false;
+    levels.push_back(
+        {uint16_t(dd[2]), w, ht, TIFFIsTiled(h->tif) != 0});
+  }
+  if (levels.empty()) return false;
+  h->levels = std::move(levels);
+  if (main_img->px_w > 0 && main_img->view_w > 0)
+    h->mpp = main_img->view_w / main_img->px_w / 1000.0;  // nm → µm
+  h->magnification = main_img->objective;
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
 
 WsiHandle* wsi_open(const char* path) {
   TIFFSetWarningHandler(nullptr);
+
+  // Hamamatsu NDPI: suffix-routed to the custom parser (libtiff cannot
+  // parse the >4 GiB wrapped-offset layout and would mis-enumerate the
+  // SourceLens pyramid). Falls through to libtiff when the marker tag is
+  // absent (a plain TIFF renamed .ndpi).
+  size_t plen = strlen(path);
+  if (plen >= 5 && strcasecmp(path + plen - 5, ".ndpi") == 0) {
+    if (NdpiFile* nd = ndpi_open(path)) {
+      auto* h = new WsiHandle();
+      h->ndpi = nd;
+      for (size_t i = 0; i < nd->level_dirs.size(); i++) {
+        const NdpiDir& d = nd->dirs[nd->level_dirs[i]];
+        h->levels.push_back({uint16_t(i), d.width, d.height, false});
+      }
+      h->mpp = nd->mpp;
+      h->magnification = nd->magnification;
+      return h;
+    }
+  }
+
   TIFF* tif = TIFFOpen(path, "r");
   if (!tif) return nullptr;
   auto* h = new WsiHandle();
   h->tif = tif;
+
+  // Leica SCN: BigTIFF whose dir-0 ImageDescription is the collection XML;
+  // the level table comes from the XML, not the aspect heuristic.
+  {
+    char* desc0 = nullptr;
+    if (TIFFGetField(tif, TIFFTAG_IMAGEDESCRIPTION, &desc0) && desc0 &&
+        strstr(desc0, "<scn")) {
+      std::string xml(desc0);
+      if (scn_parse(h, xml)) return h;
+      h->levels.clear();
+      h->mpp = 0.0;
+      h->magnification = 0.0;
+      TIFFSetDirectory(tif, 0);
+    }
+  }
 
   // enumerate directories; keep those matching level-0 aspect as pyramid
   uint32_t w0 = 0, h0 = 0;
@@ -320,6 +830,7 @@ WsiHandle* wsi_open(const char* path) {
 void wsi_close(WsiHandle* h) {
   if (!h) return;
   if (h->tif) TIFFClose(h->tif);
+  if (h->ndpi) ndpi_close(h->ndpi);
   delete h;
 }
 
@@ -340,6 +851,8 @@ double wsi_magnification(WsiHandle* h) { return h ? h->magnification : 0.0; }
 // surface "Aperio JPEG2000" / "unsupported codec" up front.
 int wsi_level_compression(WsiHandle* h, int level) {
   if (!h || level < 0 || level >= int(h->levels.size())) return 0;
+  if (h->ndpi)
+    return int(h->ndpi->dirs[h->ndpi->level_dirs[level]].compression);
   if (!TIFFSetDirectory(h->tif, h->levels[level].directory)) return 0;
   uint16_t comp = COMPRESSION_NONE;
   TIFFGetFieldDefaulted(h->tif, TIFFTAG_COMPRESSION, &comp);
@@ -355,6 +868,7 @@ int wsi_has_jpeg2000(void) { return opj_api() != nullptr ? 1 : 0; }
 int wsi_read_region(WsiHandle* h, int level, int64_t x0, int64_t y0,
                     uint32_t out_w, uint32_t out_h, uint8_t* out) {
   if (!h || level < 0 || level >= int(h->levels.size())) return 1;
+  if (h->ndpi) return ndpi_read_region(h->ndpi, level, x0, y0, out_w, out_h, out);
   const Level& lv = h->levels[level];
   if (!TIFFSetDirectory(h->tif, lv.directory)) return 2;
   memset(out, 255, size_t(out_w) * out_h * 3);
