@@ -23,11 +23,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # softmax runs base-2: fold log2(e) into the
+LN2 = 0.6931471805599453    # q prescale, exp→exp2 (measured 6.00→5.87 ms
+                            # at 8×6×4097×64), un-scale dq/dk by ln 2
 
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
-    *, scale: float, block_k: int, n_real: int
+    *, scale: float, block_k: int, n_real: int, exp2: bool = False
 ):
     """Single (batch·head, q-block) program; loops over key blocks.
     Also emits the log-sum-exp per query row (backward residual).
@@ -46,9 +49,8 @@ def _flash_kernel(
     # (measured 9.25 ms vs a 1.05 ms matmul roofline at 8×6×4097×64), so
     # every per-logit-element VPU op counts:
     # * mask only the blocks that actually contain padded keys;
-    # * `scale` is folded into q by the callers (exact for power-of-two
-    #   head dims; the rel-pos fold already requires scale=1) — the
-    #   per-element multiply is skipped entirely when scale == 1;
+    # * `scale` (and log2e for the base-2 softmax) is folded into q by the
+    #   callers — the per-element multiply is skipped when scale == 1;
     # * the exp runs in the storage dtype (bf16 inputs → bf16 exp: 2×
     #   vector throughput; ~4e-3 relative error, below the bf16 output
     #   quantization. fp32 inputs keep an fp32 exp). m/l stay fp32 —
@@ -56,6 +58,11 @@ def _flash_kernel(
     #   7.80 ms: the casts cost more than the packing saves).
     exp_dtype = q.dtype
     n_full = n_real // block_k  # static: blocks with no padded keys
+    # exp2=True: the caller pre-scaled q by log2(e), so logits live in
+    # base-2 space and exp/log become exp2/log2 — softmax is invariant,
+    # the lse residual is stored base-2 (the backward kernels match)
+    ex = jnp.exp2 if exp2 else jnp.exp
+    lg = jnp.log2 if exp2 else jnp.log
 
     def make_body(mask: bool):
         def body(i, carry):
@@ -72,8 +79,8 @@ def _flash_kernel(
                 logits = jnp.where(k_idx < n_real, logits, NEG_INF)
             m_cur = jnp.max(logits, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp((logits - m_new).astype(exp_dtype))
-            alpha = jnp.exp(m_prev - m_new)
+            p = ex((logits - m_new).astype(exp_dtype))
+            alpha = ex(m_prev - m_new)
             l_new = l_prev * alpha + jnp.sum(
                 p, axis=-1, keepdims=True, dtype=jnp.float32
             )
@@ -92,12 +99,12 @@ def _flash_kernel(
         n_full, n_kblocks, make_body(True), carry
     )
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0] = m + lg(jnp.maximum(l, 1e-30))
 
 
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale: float, block_k: int, n_real: int,
+    *, scale: float, block_k: int, n_real: int, exp2: bool = False,
 ):
     """dq for one q block: dq = Σ_k (p ∘ (do·vᵀ − Δ)) · k · scale.
     Matmuls run on bf16 inputs with fp32 accumulation (MXU-native)."""
@@ -118,7 +125,7 @@ def _flash_bwd_dq_kernel(
             jnp.int32, (tq, block_k), 1
         )
         logits = jnp.where(k_idx < n_real, logits, NEG_INF)
-        p = jnp.exp(logits - lse)
+        p = (jnp.exp2 if exp2 else jnp.exp)(logits - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         if scale != 1.0:
@@ -127,12 +134,14 @@ def _flash_bwd_dq_kernel(
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, n_kblocks, body, jnp.zeros((tq, d), jnp.float32))
+    if exp2:  # d(2^x)/dx = ln2·2^x — one multiply per dq element, not per logit
+        dq = dq * LN2
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale: float, block_q: int, n_real: int,
+    *, scale: float, block_q: int, n_real: int, exp2: bool = False,
 ):
     """dk/dv for one k block: dv = Σ_q pᵀ·do; dk = Σ_q dsᵀ·q·scale.
     Padded queries carry do = 0 and Δ = 0, so they contribute nothing.
@@ -156,7 +165,7 @@ def _flash_bwd_dkv_kernel(
         if scale != 1.0:
             logits = logits * scale
         logits = jnp.where(k_valid, logits, NEG_INF)
-        p = jnp.exp(logits - lse)
+        p = (jnp.exp2 if exp2 else jnp.exp)(logits - lse)
         pt = p.astype(do.dtype).T
         dv = dv + jnp.dot(pt, do, preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
@@ -171,6 +180,8 @@ def _flash_bwd_dkv_kernel(
         0, n_qblocks, body,
         (jnp.zeros((tk, d), jnp.float32), jnp.zeros((tk, dv_w), jnp.float32)),
     )
+    if exp2:  # ln2 from d(2^x)/dx; dv carries no derivative of p's argument
+        dk = dk * LN2
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -309,12 +320,14 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> Tuple[jnp.ndarray, int]
     return jnp.pad(x, pad), n
 
 
-def _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale, interpret):
+def _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale, interpret,
+                    exp2=False):
     bh, n_q, d = qf.shape
     dv = vf.shape[-1]
     out, lse = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, n_real=n_real
+            _flash_kernel, scale=scale, block_k=block_k, n_real=n_real,
+            exp2=exp2,
         ),
         grid=(bh, n_q // block_q),
         in_specs=[
@@ -335,18 +348,23 @@ def _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale, interpret):
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_core(qf, kf, vf, block_q, block_k, n_real, scale, interpret):
-    out, _ = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_core(qf, kf, vf, block_q, block_k, n_real, scale, interpret,
+                exp2=False, bwd_block_k=None):
+    out, _ = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale,
+                             interpret, exp2)
     return out
 
 
-def _flash_core_fwd(qf, kf, vf, block_q, block_k, n_real, scale, interpret):
-    out, lse = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale, interpret)
+def _flash_core_fwd(qf, kf, vf, block_q, block_k, n_real, scale, interpret,
+                    exp2=False, bwd_block_k=None):
+    out, lse = _flash_fwd_call(qf, kf, vf, block_q, block_k, n_real, scale,
+                               interpret, exp2)
     return out, (qf, kf, vf, out, lse)
 
 
-def _flash_core_bwd(block_q, block_k, n_real, scale, interpret, res, do):
+def _flash_core_bwd(block_q, block_k, n_real, scale, interpret, exp2,
+                    bwd_block_k, res, do):
     """Standard flash backward: recompute p per tile from (q, k, lse);
     Δ = rowsum(do ∘ o); ds = p ∘ (do·vᵀ − Δ)·scale; dq/dk/dv via two
     kernels (one writes q blocks, one writes k blocks)."""
@@ -354,12 +372,16 @@ def _flash_core_bwd(block_q, block_k, n_real, scale, interpret, res, do):
     bh, n_q, d = qf.shape
     n_k = kf.shape[1]
     dv_w = vf.shape[-1]
+    # the forward may run one whole-K block (ragged-N tuning); the backward
+    # chunks K at bwd_block_k so its logits tiles stay lane-aligned
+    bwd_bk = bwd_block_k or block_k
     do = do.astype(qf.dtype)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
 
     dq = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dq_kernel, scale=scale, block_k=block_k, n_real=n_real
+            _flash_bwd_dq_kernel, scale=scale, block_k=bwd_bk, n_real=n_real,
+            exp2=exp2,
         ),
         grid=(bh, n_q // block_q),
         in_specs=[
@@ -377,20 +399,21 @@ def _flash_core_bwd(block_q, block_k, n_real, scale, interpret, res, do):
 
     dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dkv_kernel, scale=scale, block_q=block_q, n_real=n_real
+            _flash_bwd_dkv_kernel, scale=scale, block_q=block_q,
+            n_real=n_real, exp2=exp2,
         ),
-        grid=(bh, n_k // block_k),
+        grid=(bh, n_k // bwd_bk),
         in_specs=[
             pl.BlockSpec((1, n_q, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_k, dv_w), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bwd_bk, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bwd_bk, dv_w), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, n_q, dv_w), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, n_q, 1), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, n_q, 1), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_k, dv_w), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bwd_bk, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bwd_bk, dv_w), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n_k, d), kf.dtype),
@@ -404,6 +427,26 @@ def _flash_core_bwd(block_q, block_k, n_real, scale, interpret, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+def _pick_blocks(n: int, fp32: bool) -> Tuple[int, int, int]:
+    """(block_q, block_k, bwd_block_k) for a sequence length.
+
+    512-divisible N (SAM global grids: 4096) tiles perfectly at 512.
+    Ragged N (4097 = CLS + 64² in the histo ViT at 1024²) wastes 26% of
+    the logit work on 512 blocks (9×9 tiles on padded 4608): a 528-row
+    q-block (sublanes allow any ×16) with ONE whole-K block (lanes need
+    ×128; a 384-multiple also serves the backward chunking) cuts the waste
+    to ~6% and runs the online-softmax rescale once instead of 9 times —
+    measured 6.08 → 5.19 ms at (48, 4097, 64) on v5e. The backward keeps
+    384-wide K chunks so its logits tiles stay lane-aligned."""
+    if fp32:  # parity path: smaller tiles bound the fp32 VMEM staging
+        if n % 256 == 0:
+            return 256, 256, 256
+        return 256, (-(-n // 384) * 384 if n <= 4224 else 384), 384
+    if n % 512 == 0:
+        return 512, 512, 512
+    return 528, (-(-n // 384) * 384 if n <= 4224 else 384), 384
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "scale", "interpret")
 )
@@ -411,17 +454,18 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Softmax(q·kᵀ·scale)·v over (B, N, H, D) without materializing logits.
 
     N may be ragged (e.g. 4097 = CLS + 64²); it is zero-padded to the block
-    size and padded keys are masked. Differentiable: a custom VJP runs the
-    flash backward in Pallas (never materializing logits either), so the
-    kernel is usable in 1024² training.
+    size and padded keys are masked. Block shapes default to the N-adaptive
+    `_pick_blocks` tuning. Differentiable: a custom VJP runs the flash
+    backward in Pallas (never materializing logits either), so the kernel
+    is usable in 1024² training.
 
     `scale` defaults to q.shape[-1]**-0.5. q/k may be wider than v
     (`flash_attention_relpos` folds the rel-pos bias into extra q/k lanes
@@ -431,23 +475,31 @@ def flash_attention(
     dv = v.shape[-1]
     if scale is None:
         scale = d**-0.5
+    auto_bq, auto_bk, bwd_bk = _pick_blocks(n, q.dtype == jnp.float32)
+    block_q = block_q or auto_bq
+    block_k = block_k or auto_bk
+    if block_k != auto_bk:
+        bwd_bk = block_k  # explicit blocks: backward mirrors them
 
     def reshape(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], x.shape[-1])
 
     # fold the scale into q OUTSIDE the kernel: one multiply per q element
     # instead of one per logit element (N² per call — ~0.8 ms of pure VPU
-    # time at 8×6×4097). Exact in bf16 for power-of-two head dims (64 for
-    # every shipped histo-ViT config: 1/√64 = 0.125); otherwise the
-    # rounding is within the bf16 storage quantization already accepted.
-    # The custom-VJP boundary sees the scaled q, and XLA chain-rules the
-    # outer multiply into dq automatically.
-    qf, kf, vf = reshape(q) * jnp.asarray(scale, q.dtype), reshape(k), reshape(v)
+    # time at 8×6×4097). log2(e) is folded in with it: the kernels run the
+    # softmax in base 2 (exp2 is the cheaper VPU op — measured 6.00 → 5.87
+    # ms; Δ vs the exp kernel ≤ 2e-3 post-softmax in bf16, inside the
+    # storage quantization). The custom-VJP boundary sees the scaled q;
+    # XLA chain-rules the outer multiply into dq automatically, and the
+    # kernels account for the ln2 factor of d(2^x)/dx.
+    qf = reshape(q) * jnp.asarray(scale * LOG2E, q.dtype)
+    kf, vf = reshape(k), reshape(v)
     qf, _ = _pad_to(qf, 1, block_q)
     kf, n_real = _pad_to(kf, 1, block_k)
     vf, _ = _pad_to(vf, 1, block_k)
 
-    out = _flash_core(qf, kf, vf, block_q, block_k, n_real, 1.0, interpret)
+    out = _flash_core(qf, kf, vf, block_q, block_k, n_real, 1.0, interpret,
+                      True, bwd_bk)
     return out[:, :n, :].reshape(b, h, n, dv).transpose(0, 2, 1, 3)
 
 
@@ -459,7 +511,7 @@ def flash_attention_relpos(
     rel_pos_h: jnp.ndarray,
     rel_pos_w: jnp.ndarray,
     grid_hw: Tuple[int, int],
-    block_q: int = 512,
+    block_q: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """SAM global attention with decomposed rel-pos bias
@@ -523,12 +575,11 @@ def flash_attention_relpos(
     if n <= 256:
         return window_attention(q_aug, k_aug, v, interpret=interpret)
 
-    # fp32 staging of the 192-lane augmented q/k overflows the 16 MB
-    # scoped-VMEM budget at N=4096 with 512-wide blocks (16.3 MB) — halve
-    # the block for fp32 callers (parity path; production runs bf16).
-    if q.dtype == jnp.float32:
-        block_q = min(block_q, 256)
-    bq = min(block_q, n)
+    # blocks: N-adaptive auto-tuning unless the caller pinned them (fp32
+    # staging of the 192-lane augmented q/k overflows the 16 MB
+    # scoped-VMEM budget at N=4096 with 512-wide blocks — _pick_blocks
+    # clamps fp32 q tiles to 256)
+    bq = min(block_q, n) if block_q is not None else None
     return flash_attention(
         q_aug, k_aug, v, block_q=bq, block_k=bq, scale=1.0,
         interpret=interpret,
