@@ -286,6 +286,7 @@ def measure_pq_delta(
     n_types: int = 5,
     source: str = "synthetic",
     train_steps: int = 150,
+    n_cells: int = 0,
 ) -> Dict:
     """Run the harness; returns the report dict (see module docstring).
 
@@ -308,8 +309,14 @@ def measure_pq_delta(
     # degenerates both pipelines to bPQ ≈ 0.
     scale = 1.0 if magnification >= 40 else 0.85
     rng = np.random.default_rng(seed)
+    # density scales with tile area: 28 cells at 256² → ~450 at the
+    # production 1024² tile size (the bench regime, VERDICT r3 item 6)
+    if n_cells <= 0:
+        n_cells = int(round(28 * (size / 256) ** 2))
     gt = [
-        make_gt_tile(rng, size=size, n_types=n_types, scale=scale)
+        make_gt_tile(
+            rng, size=size, n_cells=n_cells, n_types=n_types, scale=scale
+        )
         for _ in range(n_tiles)
     ]
     if source == "model":
@@ -356,6 +363,9 @@ def measure_pq_delta(
         "size": size,
         "magnification": magnification,
         "source": source,
+        "n_cells": n_cells,
+        "mean_gt_instances": float(np.mean([i.max() for i, _ in gt])),
+        "mean_exact_instances": float(np.mean([e.max() for e in exact])),
         "exact": {"bPQ": exact_bpq, "mPQ": exact_mpq},
         "levels": {},
     }
@@ -395,6 +405,8 @@ def main() -> None:
         "--source", choices=["synthetic", "model"], default="synthetic"
     )
     ap.add_argument("--train-steps", type=int, default=150)
+    ap.add_argument("--cells", type=int, default=0,
+                    help="nuclei per tile (0 = scale 28·(size/256)²)")
     args = ap.parse_args()
     report = measure_pq_delta(
         n_tiles=args.tiles,
@@ -404,6 +416,7 @@ def main() -> None:
         seed=args.seed,
         source=args.source,
         train_steps=args.train_steps,
+        n_cells=args.cells,
     )
     print(json.dumps(report, indent=2))
 

@@ -179,6 +179,7 @@ class InferenceCellViT:
         ksize, object_size = (21, 10) if self.magnification == 40 else (11, 3)
 
         binary_dice, binary_jacc = [], []
+        img_names: List[str] = []
         pq_s, dq_s, sq_s = [], [], []
         type_pq, type_dq, type_sq = [], [], []
         tissue_pred_all, tissue_gt_all, tissue_str = [], [], []
@@ -195,6 +196,7 @@ class InferenceCellViT:
             )
             tt_pred = np.asarray(jnp.argmax(out["tissue_types"], -1))
 
+            img_names.extend(raw.get("names", [""] * inst_np.shape[0]))
             gt_inst = raw["masks/instance_map"].astype(np.int32)
             gt_type = raw["masks/nuclei_type_map"].astype(np.int32)
             gt_bin = raw["masks/nuclei_binary_map"].astype(np.int32)
@@ -329,14 +331,32 @@ class InferenceCellViT:
                 "recall": float(rec),
             }
 
+        # per-image table (reference schema: {name: Dice/Jaccard/bPQ},
+        # inference_cellvit_experiment_pannuke.py image_metrics)
+        image_metrics = {
+            name: {
+                "Dice": float(binary_dice[i]),
+                "Jaccard": float(binary_jacc[i]),
+                "bPQ": float(pq_arr[i]),
+            }
+            for i, name in enumerate(img_names)
+        }
+
         results = {
             "dataset": dataset_metrics,
             "tissue_metrics": tissue_metrics,
+            "image_metrics": image_metrics,
             "nuclei_metrics_pq": {
                 k: v["PQ"] for k, v in nuclei_metrics.items()
             },
+            # reference key names: f1_cell/prec_cell/rec_cell
+            # (inference_cellvit_experiment_pannuke.py nuclei_metrics_d)
             "nuclei_metrics_d": {
-                k: {m: v[m] for m in ("f1", "precision", "recall")}
+                k: {
+                    "f1_cell": v["f1"],
+                    "prec_cell": v["precision"],
+                    "rec_cell": v["recall"],
+                }
                 for k, v in nuclei_metrics.items()
             },
         }
@@ -372,6 +392,18 @@ def main() -> None:
         help="Decoder family of the run (the reference splits these across "
         "per-family inference scripts)",
     )
+    parser.add_argument(
+        "--reference-log", type=str, default=None,
+        help="Reference logs_paper fold directory (or a direct path to its "
+        "inference_results.json): every key of the produced results is "
+        "diffed against it and the report written to "
+        "run_dir/reference_diff.json (golden-metric harness — see "
+        "inference/golden.py)",
+    )
+    parser.add_argument(
+        "--tolerance", type=float, default=5e-3,
+        help="Absolute per-metric tolerance for the --reference-log diff",
+    )
     args = parser.parse_args()
 
     if args.family == "cpp":
@@ -382,12 +414,28 @@ def main() -> None:
         )
     else:
         cls = InferenceCellViT
-    cls(
+    inf = cls(
         args.run_dir,
         checkpoint_name=args.checkpoint_name,
         magnification=args.magnification,
         batch_size=args.batch_size,
-    ).run_patch_inference()
+    )
+    results = inf.run_patch_inference()
+    if args.reference_log is not None:
+        from cellvit_tpu.inference.golden import compare_to_reference
+
+        report = compare_to_reference(
+            results, args.reference_log,
+            out_path=Path(args.run_dir) / "reference_diff.json",
+            atol=args.tolerance,
+        )
+        inf.logger.info(
+            "golden diff vs %s: %d keys compared, max |Δ| = %.5f, "
+            "%d outside ±%g, %d reference keys missing here",
+            args.reference_log, report["n_compared"],
+            report["max_abs_delta"], report["n_outside_tol"],
+            args.tolerance, len(report["missing_in_ours"]),
+        )
 
 
 if __name__ == "__main__":

@@ -7,9 +7,33 @@ import numpy as np
 TISSUES = ["Breast", "Colon", "Lung"]
 
 
+# nucleus rendering colors keyed by type id: distinct hues make the type
+# map learnable, so closed-loop runs (train → checkpoint → eval_pannuke)
+# can recover typed PQ / detection F1, not just binary PQ
+TYPE_COLORS = np.array(
+    [
+        [0, 0, 0],      # background (unused)
+        [60, 40, 150],  # type 1 (PanNuke: Neoplastic)
+        [150, 40, 40],  # type 2 (Inflammatory)
+        [40, 120, 60],  # type 3 (Connective)
+        [90, 90, 30],   # type 4 (Dead)
+        [140, 60, 130], # type 5 (Epithelial)
+        [30, 110, 120], # type 6 (CoNIC has 6 foreground classes)
+    ],
+    np.int32,
+)
+
+
 def random_instance_image(rng, h=64, w=64, n_cells=5, n_types=6):
-    """Random blob nuclei → (rgb uint8, inst_map, type_map)."""
-    img = rng.integers(100, 230, (h, w, 3), dtype=np.uint8)
+    """Random blob nuclei → (rgb uint8, inst_map, type_map).
+
+    Background is H&E-like (light pink); nuclei are darker blobs colored
+    by their type (TYPE_COLORS + jitter) — separable for both the binary
+    and the type heads."""
+    img = np.empty((h, w, 3), np.uint8)
+    img[..., 0] = rng.integers(200, 236, (h, w))
+    img[..., 1] = rng.integers(170, 210, (h, w))
+    img[..., 2] = rng.integers(195, 230, (h, w))
     inst = np.zeros((h, w), np.int32)
     types = np.zeros((h, w), np.int32)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -23,16 +47,24 @@ def random_instance_image(rng, h=64, w=64, n_cells=5, n_types=6):
         if sel.sum() < 6:
             continue
         placed += 1
+        t = int(rng.integers(1, n_types))
         inst[sel] = placed
-        types[sel] = int(rng.integers(1, n_types))
-        img[sel] = rng.integers(40, 120, 3, dtype=np.uint8)
+        types[sel] = t
+        color = TYPE_COLORS[t] + rng.integers(-20, 21, 3)
+        img[sel] = np.clip(color, 0, 255).astype(np.uint8)
     return img, inst, types
 
 
-def make_pannuke_dataset(root: Path, folds=(0,), n_images=6, seed=0, size=64):
-    """Write a synthetic dataset in PanNuke layout (pannuke.py contract)."""
+def make_pannuke_dataset(
+    root: Path, folds=(0,), n_images=6, seed=0, size=64, n_cells=0
+):
+    """Write a synthetic dataset in PanNuke layout (pannuke.py contract).
+
+    n_cells=0 scales nucleus density with tile area (5 per 64² patch)."""
     from PIL import Image
 
+    if n_cells <= 0:
+        n_cells = max(5, round(5 * (size / 64) ** 2))
     rng = np.random.default_rng(seed)
     root = Path(root)
     tissue_counts = {t: 0 for t in TISSUES}
@@ -42,7 +74,9 @@ def make_pannuke_dataset(root: Path, folds=(0,), n_images=6, seed=0, size=64):
         types_rows = ["img,type"]
         count_rows = ["Image,Neoplastic,Inflammatory,Connective,Dead,Epithelial"]
         for i in range(n_images):
-            img, inst, typ = random_instance_image(rng, h=size, w=size)
+            img, inst, typ = random_instance_image(
+                rng, h=size, w=size, n_cells=n_cells
+            )
             name = f"{fold}_{i}"
             Image.fromarray(img).save(root / f"fold{fold}" / "images" / f"{name}.png")
             np.save(

@@ -102,16 +102,48 @@ def test_patch_inference_writes_results(e2e_run):
 
 def test_patch_inference_cli_main(e2e_run, monkeypatch):
     """`python -m cellvit_tpu.inference.eval_pannuke` surface (reference
-    runs eval via a CLI script — InferenceCellViTParser)."""
+    runs eval via a CLI script — InferenceCellViTParser), including the
+    golden-metric harness: --reference-log self-diff must agree on every
+    key (the real use loads a downloaded reference .pth and diffs against
+    logs_paper/<config>/Fold-N/inference_results.json)."""
     from cellvit_tpu.inference import eval_pannuke
 
     _, run_dir, *_ = e2e_run
     monkeypatch.setattr(
         "sys.argv",
-        ["eval_pannuke", "--run_dir", str(run_dir), "--batch_size", "6"],
+        ["eval_pannuke", "--run_dir", str(run_dir), "--batch_size", "6",
+         "--reference-log", str(run_dir)],
     )
     eval_pannuke.main()
     assert (run_dir / "inference_results.json").exists()
+    report = json.loads((run_dir / "reference_diff.json").read_text())
+    assert report["n_compared"] > 10
+    assert report["max_abs_delta"] == 0.0
+    assert report["n_outside_tol"] == 0
+    assert not report["missing_in_ours"] and not report["missing_in_reference"]
+
+
+def test_results_schema_matches_reference_logs(e2e_run):
+    """Our inference_results.json must carry the same sections and
+    dataset-level keys as the reference's shipped fold results, so the
+    golden diff compares like for like."""
+    ref_json = Path(
+        "/root/reference/logs_paper/PanNuke/CellViTHV/SAM-H/Fold-1/"
+        "inference_results.json"
+    )
+    if not ref_json.exists():
+        pytest.skip("reference logs_paper not available")
+    _, run_dir, *_ = e2e_run
+    ours = json.loads((run_dir / "inference_results.json").read_text())
+    ref = json.loads(ref_json.read_text())
+    assert set(ours) == set(ref)
+    assert set(ours["dataset"]) == set(ref["dataset"])
+    ref_img = next(iter(ref["image_metrics"].values()))
+    our_img = next(iter(ours["image_metrics"].values()))
+    assert set(our_img) == set(ref_img)
+    assert set(next(iter(ours["nuclei_metrics_d"].values()))) == set(
+        next(iter(ref["nuclei_metrics_d"].values()))
+    )
 
 
 def test_resume_from_checkpoint(e2e_run, tmp_path):
