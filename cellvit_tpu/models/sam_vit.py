@@ -76,51 +76,22 @@ def gather_rel_pos(rel_pos: jax.Array, size: int) -> jax.Array:
 
 
 class SamAttention(nn.Module):
-    """MHA over a (B, H, W, C) token grid with decomposed rel-pos bias.
-
-    `window_size > 0` partitions the grid into windows INTERNALLY, after
-    the qkv projection: the reference pads the LN output with zeros before
-    projecting (image_encoder.py Block.forward), and Dense(0) is exactly
-    the qkv bias, so constant-padding the projected qkv is the same math
-    while qkv and proj skip the padded tokens (64→70 at 1024² tiles: 4900
-    vs 4096 tokens = 16.4% of the two largest matmuls in every windowed
-    block)."""
+    """MHA over a (B, H, W, C) token grid with decomposed rel-pos bias."""
 
     dim: int
     num_heads: int
     qkv_bias: bool = True
     use_rel_pos: bool = True
     rel_pos_dim: int = 14  # grid side the rel-pos table was sized for
-    window_size: int = 0  # 0 = attend over the whole grid
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b0, h0, w0, c = x.shape
+        b, h, w, c = x.shape
         nh = self.num_heads
         hd = c // nh
         scale = hd**-0.5
-        qkv_dense = nn.Dense(
-            3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
-        )
-        qkv = qkv_dense(x)  # (B, H, W, 3C) — real tokens only
-        win = self.window_size
-        if win > 0:
-            pad_h = (win - h0 % win) % win
-            pad_w = (win - w0 % win) % win
-            if pad_h or pad_w:
-                # qkv of a zero (padded) token is exactly the projection
-                # bias — one 1×C projection instead of 804 token rows
-                pad_val = qkv_dense(jnp.zeros((c,), x.dtype))
-                qkv = jnp.pad(qkv, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-                qkv = qkv.at[:, h0:, :, :].set(pad_val)
-                qkv = qkv.at[:, :, w0:, :].set(pad_val)
-            pad_hw = (h0 + pad_h, w0 + pad_w)
-            qkv, _ = window_partition(qkv, win)  # (B·nW, win, win, 3C)
-            h = w = win
-        else:
-            h, w = h0, w0
-        b = qkv.shape[0]
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, h * w, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, nh, hd)
 
@@ -149,8 +120,6 @@ class SamAttention(nn.Module):
             rw = gather_rel_pos(rel_pos_w, w)
             out = flash_attention_relpos(q, k, v, rh, rw, grid_hw=(h, w))
             out = out.reshape(b, h, w, c)
-            if win > 0:
-                out = window_unpartition(out, win, pad_hw, (h0, w0))
             return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
         if self.use_rel_pos:
@@ -204,8 +173,6 @@ class SamAttention(nn.Module):
             preferred_element_type=self.dtype,
         )
         out = out.reshape(b, h, w, c)
-        if win > 0:
-            out = window_unpartition(out, win, pad_hw, (h0, w0))
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -225,18 +192,20 @@ class SamBlock(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        # window partition/unpartition live INSIDE SamAttention so its
-        # qkv/proj run on the unpadded grid (param paths unchanged)
+        if self.window_size > 0:
+            h, w = y.shape[1], y.shape[2]
+            y, pad_hw = window_partition(y, self.window_size)
         y = SamAttention(
             self.dim,
             self.num_heads,
             qkv_bias=self.qkv_bias,
             use_rel_pos=self.use_rel_pos,
             rel_pos_dim=self.window_size if self.window_size > 0 else self.grid_size,
-            window_size=self.window_size,
             dtype=self.dtype,
             name="attn",
         )(y)
+        if self.window_size > 0:
+            y = window_unpartition(y, self.window_size, pad_hw, (h, w))
         x = shortcut + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(y)

@@ -161,6 +161,41 @@ def test_resume_from_checkpoint(e2e_run, tmp_path):
     assert int(state.step) > 0
 
 
+@pytest.mark.slow
+def test_closed_loop_recovers_separable_gt(tmp_path_factory):
+    """Closed train → checkpoint → eval_pannuke loop on separable GT: the
+    bPQ recovered from the SAVED checkpoint on a held-out fold must clear
+    a floor, validating sampler/loss/checkpoint/metric wiring jointly
+    (tiny-but-real model; the reference-scale CellViT-256 run is
+    scripts/closed_loop_pannuke.py — results in docs/PARITY.md)."""
+    from cellvit_tpu.train.experiment import ExperimentCellVitPanNuke
+    from cellvit_tpu.inference.eval_pannuke import InferenceCellViT
+
+    root = make_pannuke_dataset(
+        tmp_path_factory.mktemp("pannuke_loop"), folds=(0, 1, 2),
+        n_images=32, size=64,
+    )
+    log_dir = tmp_path_factory.mktemp("runs_loop")
+    config = make_config(root, log_dir)
+    config["data"].update(train_folds=[0], val_folds=[1], test_folds=[2])
+    config["model"] = {
+        "backbone": "default", "embed_dim": 96, "depth": 4,
+        "num_heads": 4, "extract_layers": [1, 2, 3, 4],
+    }
+    config["training"].update(
+        batch_size=8, epochs=16, unfreeze_epoch=0, eval_every=8,
+        optimizer_hyperparameter={"lr": 8e-4},
+    )
+    experiment = ExperimentCellVitPanNuke(config)
+    run_dir, *_ = experiment.run_experiment()
+    inf = InferenceCellViT(run_dir, checkpoint_name="latest_checkpoint",
+                           batch_size=8)
+    results = inf.run_patch_inference()
+    d = results["dataset"]
+    assert d["Binary-Cell-Dice-Mean"] > 0.7, d
+    assert d["bPQ"] > 0.35, d
+
+
 def test_sweep_enumeration():
     from cellvit_tpu.train.sweeper import enumerate_configs
 
