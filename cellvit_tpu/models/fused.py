@@ -198,17 +198,28 @@ def fused_towers(
                 for t in range(nb)
             ]
 
-    # d0: towers 0+1 channel-packed with block-diagonal kernels
+    # d0: towers 0+1 channel-packed with block-diagonal kernels; the
+    # remaining towers pack their x with the 64-channel skip into one
+    # 128-wide conv input — a lone 64→64 conv runs at ~38 TF/s on the MXU
+    # (half-filled lanes, 2×-padded HBM) while the packed [x|p0] 128→64
+    # form measures 52.0 vs 54.7 ms for the whole d0c1 stage (r4 probe)
     skip_i, prefix, n_convs, _ = _STAGES[-1]
-    shared, folded, cp, f_out = conv1_shared(skip_i, prefix)
+    ps = p[skip_i].astype(dtype)
+    cp = ps.shape[-1]
+    folded = [
+        _folded_conv(params[br][f"{prefix}_0"], batch_stats[br][f"{prefix}_0"])
+        for br in branches
+    ]
     outs: List[jnp.ndarray] = []
     if nb >= 2:
+        # shared-skip halves of towers 0+1 merged into one 64→128 conv
+        kp01 = jnp.concatenate(
+            [folded[0][0][:, :, :cp, :], folded[1][0][:, :, :cp, :]], -1
+        )
+        sh01 = _conv(ps, kp01, dtype)
         kx = _blockdiag(folded[0][0][:, :, cp:, :], folded[1][0][:, :, cp:, :])
         bx = jnp.concatenate([folded[0][1], folded[1][1]])
-        h = jax.nn.relu(
-            shared[..., : 2 * f_out] + _conv(xs[0], kx, dtype)
-            + bx.astype(dtype)
-        )
+        h = jax.nn.relu(sh01 + _conv(xs[0], kx, dtype) + bx.astype(dtype))
         for ci in range(1, n_convs):
             (kc0, bc0), (kc1, bc1) = folded2(prefix, ci, 0), folded2(prefix, ci, 1)
             h = jax.nn.relu(
@@ -225,9 +236,11 @@ def fused_towers(
     for t in range(2 * x_off, nb):
         br = branches[t]
         k, b = folded[t]
-        h = shared[..., t * f_out : (t + 1) * f_out]
-        h = h + _conv(xs[t - x_off], k[:, :, cp:, :], dtype)
-        h = jax.nn.relu(h + b.astype(dtype))
+        # conv(concat([x, p0]), [Wx; Wp]) == conv(p0, Wp) + conv(x, Wx):
+        # one full-lane 128→64 conv instead of two half-lane 64→64s
+        cat = jnp.concatenate([xs[t - x_off], ps], -1)
+        k_cat = jnp.concatenate([k[:, :, cp:, :], k[:, :, :cp, :]], 2)
+        h = jax.nn.relu(_conv(cat, k_cat, dtype) + b.astype(dtype))
         for ci in range(1, n_convs):
             kc, bc = folded2(prefix, ci, t)
             h = jax.nn.relu(_conv(h, kc, dtype) + bc.astype(dtype))

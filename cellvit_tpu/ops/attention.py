@@ -186,6 +186,73 @@ def _flash_bwd_dkv_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _flash_relpos_kernel(
+    q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref,
+    *, block_k: int, gw: int, n_real: int,
+):
+    """Flash forward with the decomposed rel-pos bias added IN VMEM.
+
+    The lane-augmentation route (`flash_attention_relpos`) widens the q·kᵀ
+    contraction from head_dim to head_dim + grid_h + grid_w (64 → 192 for
+    SAM's 64×64 global grids, 80 → 208→256 padded for SAM-H): the MXU then
+    spends 2-3× the FLOPs of the real d-wide dot just to add the bias.
+    Here the dot stays d-wide and the bias lands as VPU adds on the logits
+    tile: for a key block of `rows = block_k // gw` grid rows,
+
+        bias[q, r·gw + j] = Bh[q, r0 + r] + Bw[q, j]
+
+    is built from lane-broadcasts of Bh columns plus a gw-periodic tile of
+    Bw (`image_encoder.py:354-392` semantics, exact). The key loop is
+    statically unrolled so the Bh column slices stay static (Mosaic has no
+    dynamic lane slicing). Softmax runs base-2: the caller pre-scales q
+    AND Bh/Bw by log2(e). Online-softmax state matches `_flash_kernel`."""
+    q = q_ref[0]  # (TQ, D)
+    tq = q.shape[0]
+    dv = v_ref.shape[-1]
+    bw_cols = bw_ref[0].astype(jnp.float32)  # (TQ, gw)
+    rows = block_k // gw
+    bw_tile = jnp.concatenate([bw_cols] * rows, axis=-1)  # (TQ, block_k)
+    n_kblocks = k_ref.shape[1] // block_k
+    exp_dtype = q.dtype
+
+    acc = jnp.zeros((tq, dv), jnp.float32)
+    m_prev = jnp.full((tq, 1), NEG_INF, jnp.float32)
+    l_prev = jnp.zeros((tq, 1), jnp.float32)
+    for kb in range(n_kblocks):  # static unroll: static Bh lane slices
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        r0 = kb * rows
+        bh_built = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    bh_ref[0, :, r0 + r : r0 + r + 1].astype(jnp.float32),
+                    (tq, gw),
+                )
+                for r in range(rows)
+            ],
+            axis=-1,
+        )
+        logits = logits + (bh_built + bw_tile)
+        if (kb + 1) * block_k > n_real:
+            k_idx = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (tq, block_k), 1
+            )
+            logits = jnp.where(k_idx < n_real, logits, NEG_INF)
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2((logits - m_new).astype(exp_dtype))
+        alpha = jnp.exp2(m_prev - m_new)
+        l_prev = l_prev * alpha + jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        acc = acc * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        m_prev = m_new
+    o_ref[0] = (acc / jnp.maximum(l_prev, 1e-30)).astype(o_ref.dtype)
+
+
 def _win_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int):
     """Whole-window attention for a batch of WB (window·head) pairs.
 
@@ -503,57 +570,12 @@ def flash_attention(
     return out[:, :n, :].reshape(b, h, n, dv).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
-def flash_attention_relpos(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    rel_pos_h: jnp.ndarray,
-    rel_pos_w: jnp.ndarray,
-    grid_hw: Tuple[int, int],
-    block_q: Optional[int] = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """SAM global attention with decomposed rel-pos bias
-    (`add_decomposed_rel_pos`, image_encoder.py:354-392).
-
-    The bias is folded INTO the q·kᵀ matmul by lane augmentation:
-
-        q' = [q·scale | Bh(q,·) | Bw(q,·)],   Bh[q,i] = Σ_d q_d·RelH[qi(q),i,d]
-        k' = [k       | 1{ki(k)=·} | 1{kj(k)=·}]
-
-    so q'·k'ᵀ = q·kᵀ·scale + Bh[q,ki(k)] + Bw[q,kj(k)] exactly — the MXU
-    adds the bias for free and the plain flash kernel (512-wide key
-    blocks, storage-dtype exp) runs unchanged with scale=1. A dedicated
-    rel-pos kernel with key blocks = one grid row (64 wide) measured
-    42 ms/block extra on SAM-B vs ~18 ms for this formulation: half the
-    VPU/MXU lanes sat idle and the exp ran in fp32.
-
-    Differentiable end-to-end: the flash custom VJP returns dq'/dk'/dv and
-    autodiff routes the Bh/Bw slices back through the einsums into q and
-    the rel-pos tables; the indicator lanes of k' are constants.
-
-    Args:
-        q/k/v: (B, N, H, D) with N = grid_h · grid_w tokens in row-major
-            grid order.
-        rel_pos_h/w: gathered tables (side, side, D) from
-            `cellvit_tpu.models.sam_vit.gather_rel_pos`.
-    """
+def _relpos_aug(q, k, bh, bw, grid_hw):
+    """Augmented-lane (q', k') tensors for the decomposed rel-pos bias —
+    shared by the fallback forward and the direct-bias kernel's backward."""
     gh, gw = grid_hw
     b, n, h, d = q.shape
-    assert n == gh * gw
     scale = d**-0.5
-
-    # Bh[b,q,h,i] = Σ_d q·RelH[qi(q), i, d];  Bw[b,q,h,j] similarly (small)
-    rq = q.reshape(b, gh, gw, h, d)
-    bh = jnp.einsum("bijnd,ikd->bijnk", rq.astype(jnp.float32),
-                    rel_pos_h.astype(jnp.float32))
-    bw = jnp.einsum("bijnd,jld->bijnl", rq.astype(jnp.float32),
-                    rel_pos_w.astype(jnp.float32))
-    bh = bh.reshape(b, n, h, gh).astype(q.dtype)
-    bw = bw.reshape(b, n, h, gw).astype(q.dtype)
-
-    # per-key one-hot row/col indicators (constants, shared over B and H)
     ii = jnp.arange(n, dtype=jnp.int32) // gw
     jj = jnp.arange(n, dtype=jnp.int32) % gw
     onehot = jnp.concatenate(
@@ -565,6 +587,133 @@ def flash_attention_relpos(
         [k, jnp.broadcast_to(onehot[None, :, None, :], (b, n, h, gh + gw))],
         axis=-1,
     )
+    return q_aug, k_aug
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _relpos_core(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret):
+    return _relpos_fwd_only(q, k, v, bh, bw, grid_hw, block_q, block_k,
+                            interpret)
+
+
+def _relpos_fwd_only(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret):
+    """(B, N, H, D) global rel-pos attention via the direct-bias VMEM
+    kernel: d-wide q·kᵀ on the MXU, bias as VPU adds on the logits tile
+    (vs 2-3× the dot FLOPs on the lane-augmented path)."""
+    gh, gw = grid_hw
+    b, n, h, d = q.shape
+    dv = v.shape[-1]
+    scale = d**-0.5
+
+    def reshape(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, n, x.shape[-1])
+
+    qf = reshape(q) * jnp.asarray(scale * LOG2E, q.dtype)
+    kf, vf = reshape(k), reshape(v)
+    l2e = jnp.asarray(LOG2E, bh.dtype)
+    bhf, bwf = reshape(bh * l2e), reshape(bw * l2e)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_relpos_kernel, block_k=block_k, gw=gw, n_real=n
+        ),
+        grid=(b * h, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, dv), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, gh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, gw), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dv), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, bhf, bwf)
+    return out.reshape(b, h, n, dv).transpose(0, 2, 1, 3)
+
+
+def _relpos_core_fwd(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret):
+    out = _relpos_fwd_only(q, k, v, bh, bw, grid_hw, block_q, block_k,
+                           interpret)
+    return out, (q, k, v, bh, bw)
+
+
+def _relpos_core_bwd(grid_hw, block_q, block_k, interpret, res, do):
+    """Backward through the mathematically-identical augmented-lane path:
+    dq'/dk' slices give dq, dk, dBh, dBw (the indicator lanes of k' are
+    constants). Global rel-pos attention only occurs at 1024²-tile
+    inference in the shipped configs (256² training crops route through
+    the window kernel), so the backward optimizes for correctness."""
+    q, k, v, bh, bw = res
+    d = q.shape[-1]
+    gh = bh.shape[-1]
+    scale = d**-0.5
+    q_aug, k_aug = _relpos_aug(q, k, bh, bw, grid_hw)
+    _, vjp = jax.vjp(
+        lambda qa, ka, vv: flash_attention(qa, ka, vv, scale=1.0,
+                                           interpret=interpret),
+        q_aug, k_aug, v,
+    )
+    dqa, dka, dv = vjp(do)
+    dq = dqa[..., :d] * scale
+    dbh = dqa[..., d : d + gh]
+    dbw = dqa[..., d + gh :]
+    dk = dka[..., :d]
+    return dq, dk, dv, dbh, dbw
+
+
+_relpos_core.defvjp(_relpos_core_fwd, _relpos_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
+def flash_attention_relpos(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    grid_hw: Tuple[int, int],
+    block_q: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """SAM attention with decomposed rel-pos bias
+    (`add_decomposed_rel_pos`, image_encoder.py:354-392).
+
+    Three routes, all computing softmax(q·kᵀ·scale + Bh + Bw)·v exactly:
+
+    * N ≤ 256 (14×14 windows, 16×16 training grids): whole-window VMEM
+      kernel on lane-augmented q'/k' — q' = [q·scale | Bh(q,·) | Bw(q,·)]
+      against k' = [k | 1{ki=·} | 1{kj=·}], so q'·k'ᵀ adds the bias inside
+      the matmul. At window size the augmentation is free (d+gh+gw ≤ 128
+      lanes, the MXU minimum tile).
+    * large divisible grids (SAM 64×64 global at 1024²): direct-bias flash
+      kernel (`_flash_relpos_kernel`) — the dot stays d-wide and Bh/Bw land
+      as VPU adds on the logits tile. The augmented dot at this size costs
+      192/64 = 3× (SAM-B) to 256/128 = 2× (SAM-H) the real-dot MXU work.
+    * ragged grids: augmented-lane flash fallback.
+
+    Differentiable end-to-end: the direct-bias core's VJP routes through
+    the augmented formulation (dq'/dk' slices give dq/dk/dBh/dBw), and
+    autodiff carries Bh/Bw back through the einsums into q and the tables.
+
+    Args:
+        q/k/v: (B, N, H, D) with N = grid_h · grid_w tokens in row-major
+            grid order.
+        rel_pos_h/w: gathered tables (side, side, D) from
+            `cellvit_tpu.models.sam_vit.gather_rel_pos`.
+    """
+    gh, gw = grid_hw
+    b, n, h, d = q.shape
+    assert n == gh * gw
+
+    # Bh[b,q,h,i] = Σ_d q·RelH[qi(q), i, d];  Bw[b,q,h,j] similarly (small)
+    rq = q.reshape(b, gh, gw, h, d)
+    bh = jnp.einsum("bijnd,ikd->bijnk", rq.astype(jnp.float32),
+                    rel_pos_h.astype(jnp.float32))
+    bw = jnp.einsum("bijnd,jld->bijnl", rq.astype(jnp.float32),
+                    rel_pos_w.astype(jnp.float32))
+    bh = bh.reshape(b, n, h, gh).astype(q.dtype)
+    bw = bw.reshape(b, n, h, gw).astype(q.dtype)
+
     # short sequences (the 14×14 windows, N=196, windows as batch; or
     # 16×16 global grids at 256² training crops): whole-window VMEM
     # kernel — one (N, N) logits tile per (window·head), WB pairs per
@@ -572,13 +721,28 @@ def flash_attention_relpos(
     # single-block programs whose per-program overhead gave back most of
     # the HBM saving (measured SAM-B windowed block: einsum 13.94 →
     # flash 12.06 → window kernel 11.54 ms; SAM-H 24.5 → 21.4 → 21.11).
+    # The lane augmentation costs nothing extra here: d + gh + gw ≤ 128
+    # for every 14×14 window config, inside the 128-lane minimum tile.
     if n <= 256:
+        q_aug, k_aug = _relpos_aug(q, k, bh, bw, (gh, gw))
         return window_attention(q_aug, k_aug, v, interpret=interpret)
 
-    # blocks: N-adaptive auto-tuning unless the caller pinned them (fp32
-    # staging of the 192-lane augmented q/k overflows the 16 MB
+    # large global grids (SAM 64×64 at 1024² tiles): the direct-bias
+    # kernel keeps the q·kᵀ contraction d-wide and adds Bh/Bw in VMEM —
+    # the lane-augmented dot spent 192/64 = 3× (SAM-B) to 256/80 (SAM-H,
+    # padded) the real-dot MXU FLOPs just to apply the bias.
+    blk_k = gw * max(1, 512 // gw)
+    if n % blk_k == 0 and blk_k % gw == 0 and gh % (blk_k // gw) == 0:
+        bq = block_q or (512 if n % 512 == 0 else None)
+        if bq is not None and n % bq == 0:
+            return _relpos_core(q, k, v, bh, bw, (gh, gw), bq, blk_k,
+                                interpret)
+
+    # fallback (ragged grids): augmented-lane flash, N-adaptive blocks
+    # (fp32 staging of the 192-lane augmented q/k overflows the 16 MB
     # scoped-VMEM budget at N=4096 with 512-wide blocks — _pick_blocks
     # clamps fp32 q tiles to 256)
+    q_aug, k_aug = _relpos_aug(q, k, bh, bw, (gh, gw))
     bq = min(block_q, n) if block_q is not None else None
     return flash_attention(
         q_aug, k_aug, v, block_q=bq, block_k=bq, scale=1.0,

@@ -181,6 +181,69 @@ def test_flash_attention_vjp_matches_xla(rng):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+@pytest.mark.parametrize("gh,gw,bq", [(32, 32, 128), (16, 32, 64)])
+def test_flash_relpos_direct_bias_kernel(rng, gh, gw, bq):
+    """The direct-bias VMEM route (N > 256, block-divisible grid): d-wide
+    q·kᵀ with Bh/Bw added on the logits tile — must match the SAM
+    decomposed-bias math exactly, forward and gradients."""
+    from cellvit_tpu.models.sam_vit import gather_rel_pos
+    from cellvit_tpu.ops import attention as attn_mod
+
+    b, h, d = 1, 2, 32
+    n = gh * gw
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32) * 0.5
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32) * 0.5
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    table_h = jnp.asarray(rng.standard_normal((2 * gh - 1, d)), jnp.float32) * 0.3
+    table_w = jnp.asarray(rng.standard_normal((2 * gw - 1, d)), jnp.float32) * 0.3
+    rh = gather_rel_pos(table_h, gh)
+    rw = gather_rel_pos(table_w, gw)
+
+    rq = q.reshape(b, gh, gw, h, d)
+    bias_h = jnp.einsum("bijnd,ikd->bnijk", rq, rh)
+    bias_w = jnp.einsum("bijnd,jld->bnijl", rq, rw)
+    bias = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(b, h, n, n)
+    ref = _reference_attention(q, k, v, bias=bias)
+
+    # confirm the routing picks the direct-bias core for this shape
+    blk_k = gw * max(1, 512 // gw)
+    assert n % blk_k == 0 and n % bq == 0 and n > 256
+
+    calls = []
+    orig = attn_mod._relpos_core
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    attn_mod._relpos_core = spy
+    try:
+        out = flash_attention_relpos(
+            q, k, v, rh, rw, grid_hw=(gh, gw), block_q=bq, interpret=True
+        )
+    finally:
+        attn_mod._relpos_core = orig
+    assert calls, "expected the direct-bias kernel route"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # gradients (routed through the augmented-lane VJP)
+    cot = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    flash = lambda *a: jnp.vdot(
+        flash_attention_relpos(*a, grid_hw=(gh, gw), block_q=bq,
+                               interpret=True), cot)
+
+    def dense(q, k, v, rh, rw):
+        rq = q.reshape(b, gh, gw, h, d)
+        bhb = jnp.einsum("bijnd,ikd->bnijk", rq, rh)
+        bwb = jnp.einsum("bijnd,jld->bnijl", rq, rw)
+        bias = (bhb[..., :, None] + bwb[..., None, :]).reshape(b, h, n, n)
+        return jnp.vdot(_reference_attention(q, k, v, bias=bias), cot)
+
+    for a, bb in zip(jax.grad(flash, (0, 1, 2, 3, 4))(q, k, v, rh, rw),
+                     jax.grad(dense, (0, 1, 2, 3, 4))(q, k, v, rh, rw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)
+
+
 def test_flash_relpos_vjp_matches_xla(rng):
     """Rel-pos flash VJP: dq/dk/dv and rel-pos-table grads vs dense XLA."""
     import jax
