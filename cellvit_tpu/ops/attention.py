@@ -725,7 +725,12 @@ def flash_attention_relpos(
     # for every 14×14 window config, inside the 128-lane minimum tile.
     if n <= 256:
         q_aug, k_aug = _relpos_aug(q, k, bh, bw, (gh, gw))
-        return window_attention(q_aug, k_aug, v, interpret=interpret)
+        # window-batch size: 16 measured best at head_dim 64 (SAM-B
+        # 5.24→5.00 ms per block-equivalent), 8 at head_dim 80 (SAM-H
+        # 7.29 vs 7.64) — r4 WB sweep at 200 windows × heads, b8×1024²
+        wb = 16 if v.shape[-1] <= 64 else 8
+        return window_attention(q_aug, k_aug, v, window_block=wb,
+                                interpret=interpret)
 
     # large global grids (SAM 64×64 at 1024² tiles): the direct-bias
     # kernel keeps the q·kᵀ contraction d-wide and adds Bh/Bw in VMEM —
