@@ -62,6 +62,13 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: works over the axon tunnel (round-4 finding —
+# repeat compiles of identical HLO drop from ~10 min to seconds across
+# processes), and is harmless on CPU
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 BASELINE_A100_PPS = 8.0  # derived A100 1024² patches/sec — see module docstring
@@ -77,8 +84,8 @@ CHUNK = 5  # chained-dispatch chunk: block once per CHUNK iterations
 
 def main(profile_dir: str | None = None) -> None:
     from cellvit_tpu.models import CellViT256
-    from cellvit_tpu.models.fused import fused_forward
-    from cellvit_tpu.ops.hv_postproc import instance_map_batch
+    from cellvit_tpu.models.fused import fused_forward_maps
+    from cellvit_tpu.ops.hv_postproc import instance_map_batch_maps
 
     import numpy as np
 
@@ -103,14 +110,15 @@ def main(profile_dir: str | None = None) -> None:
 
     @jax.jit
     def forward(variables, x):
-        # fused concat-free decoder towers (models/fused.py; output-parity
-        # tested vs model.apply in tests/test_fused.py)
-        out = fused_forward(model, variables, x)
-        np_prob = jax.nn.softmax(out["nuclei_binary_map"].astype(jnp.float32), -1)
-        inst = instance_map_batch(np_prob[..., 1], out["hv_map"].astype(jnp.float32))
+        # fused concat-free decoder towers with W-minor header maps
+        # (models/fused.py; output-parity tested vs model.apply in
+        # tests/test_fused.py — narrow channel-minor maps pay a 64× HBM
+        # lane-padding tax on TPU)
+        out = fused_forward_maps(model, variables, x)
+        inst = instance_map_batch_maps(out["np_prob"], out["hv0"], out["hv1"])
         # in-graph scalar summary — forces real completion when fetched
         # (block_until_ready alone is unreliable over the axon tunnel)
-        return jnp.max(inst) + jnp.sum(out["nuclei_type_map"].astype(jnp.float32))
+        return jnp.max(inst) + jnp.sum(out["type_map_cmajor"].astype(jnp.float32))
 
     for _ in range(WARMUP):
         float(forward(variables, x))

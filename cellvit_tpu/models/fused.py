@@ -23,7 +23,7 @@ agreement with the module path is asserted by tests/test_fused.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -117,15 +117,19 @@ _STAGES = (
 )
 
 
-def fused_towers(
+def _tower_trunks(
     params: Dict,
     batch_stats: Dict,
     skips: Sequence[jnp.ndarray],
     z4: jnp.ndarray,
     dtype: Any,
     branches: Sequence[str] = BRANCHES,
-) -> List[jnp.ndarray]:
-    """Run the three upsampling towers jointly; returns per-branch logits.
+) -> Tuple[Optional[jnp.ndarray], List[jnp.ndarray]]:
+    """All tower stages up to (not including) the 1×1 header convs.
+
+    Returns (h01, tails): `h01` is the towers-0+1 channel-packed 128-wide
+    d0 activation (None when fewer than 2 branches), `tails` the remaining
+    towers' 64-channel activations.
 
     The d0 stage (1024²×64 channels) runs towers 0+1 channel-packed as one
     128-wide tensor with block-diagonal kernels: 64-channel bf16 buffers are
@@ -210,7 +214,7 @@ def fused_towers(
         _folded_conv(params[br][f"{prefix}_0"], batch_stats[br][f"{prefix}_0"])
         for br in branches
     ]
-    outs: List[jnp.ndarray] = []
+    h01: Optional[jnp.ndarray] = None
     if nb >= 2:
         # shared-skip halves of towers 0+1 merged into one 64→128 conv
         kp01 = jnp.concatenate(
@@ -219,22 +223,16 @@ def fused_towers(
         sh01 = _conv(ps, kp01, dtype)
         kx = _blockdiag(folded[0][0][:, :, cp:, :], folded[1][0][:, :, cp:, :])
         bx = jnp.concatenate([folded[0][1], folded[1][1]])
-        h = jax.nn.relu(sh01 + _conv(xs[0], kx, dtype) + bx.astype(dtype))
+        h01 = jax.nn.relu(sh01 + _conv(xs[0], kx, dtype) + bx.astype(dtype))
         for ci in range(1, n_convs):
             (kc0, bc0), (kc1, bc1) = folded2(prefix, ci, 0), folded2(prefix, ci, 1)
-            h = jax.nn.relu(
-                _conv(h, _blockdiag(kc0, kc1), dtype)
+            h01 = jax.nn.relu(
+                _conv(h01, _blockdiag(kc0, kc1), dtype)
                 + jnp.concatenate([bc0, bc1]).astype(dtype)
             )
-        hd0 = params[branches[0]]["header"]
-        hd1 = params[branches[1]]["header"]
-        o_split = hd0["kernel"].shape[-1]
-        oh = _conv(h, _blockdiag(hd0["kernel"], hd1["kernel"]), dtype)
-        oh = oh + jnp.concatenate([hd0["bias"], hd1["bias"]]).astype(dtype)
-        outs = [oh[..., :o_split], oh[..., o_split:]]
     x_off = 1 if nb >= 2 else 0  # xs[0] is the packed pair when nb >= 2
+    tails: List[jnp.ndarray] = []
     for t in range(2 * x_off, nb):
-        br = branches[t]
         k, b = folded[t]
         # conv(concat([x, p0]), [Wx; Wp]) == conv(p0, Wp) + conv(x, Wx):
         # one full-lane 128→64 conv instead of two half-lane 64→64s
@@ -244,7 +242,32 @@ def fused_towers(
         for ci in range(1, n_convs):
             kc, bc = folded2(prefix, ci, t)
             h = jax.nn.relu(_conv(h, kc, dtype) + bc.astype(dtype))
-        hd = params[br]["header"]
+        tails.append(h)
+    return h01, tails
+
+
+def fused_towers(
+    params: Dict,
+    batch_stats: Dict,
+    skips: Sequence[jnp.ndarray],
+    z4: jnp.ndarray,
+    dtype: Any,
+    branches: Sequence[str] = BRANCHES,
+) -> List[jnp.ndarray]:
+    """Run the upsampling towers jointly; returns per-branch logits
+    (channel-minor, the `model.apply` layout)."""
+    nb = len(branches)
+    h01, tails = _tower_trunks(params, batch_stats, skips, z4, dtype, branches)
+    outs: List[jnp.ndarray] = []
+    if nb >= 2:
+        hd0 = params[branches[0]]["header"]
+        hd1 = params[branches[1]]["header"]
+        o_split = hd0["kernel"].shape[-1]
+        oh = _conv(h01, _blockdiag(hd0["kernel"], hd1["kernel"]), dtype)
+        oh = oh + jnp.concatenate([hd0["bias"], hd1["bias"]]).astype(dtype)
+        outs = [oh[..., :o_split], oh[..., o_split:]]
+    for t, h in enumerate(tails, start=2 if nb >= 2 else 0):
+        hd = params[branches[t]]["header"]
         outs.append(_conv(h, hd["kernel"], dtype) + hd["bias"].astype(dtype))
     return outs
 
@@ -273,4 +296,73 @@ def fused_forward(
         out["nuclei_binary_map"] = nb
     out["hv_map"] = hv
     out["nuclei_type_map"] = nt
+    return out
+
+
+def fused_forward_maps(
+    model, variables: Dict, x: jnp.ndarray, retrieve_tokens: bool = False
+) -> Dict:
+    """Layout-optimized inference forward emitting postproc-ready maps.
+
+    A channel-minor (B, H, W, C<128) tensor is lane-padded to 128 in HBM on
+    TPU (a (…, 2) fp32 map costs 64× its logical bytes), so the narrow
+    header outputs are emitted W-minor instead: the 1×1 header convs become
+    matmuls written as (B, C, H, W), and the nucleus probability collapses
+    to one scalar map. Measured −3.5 ms over the channel-minor headers at
+    8×1024² (round 4). Returns:
+
+      tissue_types     (B, T) logits            (as `fused_forward`)
+      np_prob          (B, H, W) f32            == softmax(nb)[..., 1]
+                       (sigmoid(nb1−nb0) — identical incl. the 0.5
+                       threshold decision)
+      hv0 / hv1        (B, H, W) f32            hv_map channels
+      type_map_cmajor  (B, num_classes, H, W)   nuclei_type_map, W-minor
+      [reg0 / reg1     (B, H, W) f32]           regression_map channels
+      [tokens]                                   if retrieve_tokens
+
+    Consumers: `bench.py`, `ops.hv_postproc.instance_map_batch_maps`.
+    Parity with `fused_forward` is asserted in tests/test_fused.py."""
+    extra, skips, z4 = model.apply(variables, x, method="encode_features")
+    out = dict(extra)
+    if retrieve_tokens:
+        out["tokens"] = z4
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    h01, tails = _tower_trunks(
+        params, batch_stats, skips, z4, model.dtype
+    )
+
+    def header_cmajor(h, hd0, hd1=None):
+        # 1×1 conv → (B, C, H, W) matmul; block-diagonal when two towers
+        # share the packed 128-wide activation
+        if hd1 is None:
+            k = hd0["kernel"][0, 0]
+            b = hd0["bias"]
+        else:
+            k0, k1 = hd0["kernel"][0, 0], hd1["kernel"][0, 0]
+            ci0, co0 = k0.shape
+            ci1, co1 = k1.shape
+            k = jnp.concatenate([
+                jnp.concatenate([k0, jnp.zeros((ci0, co1), k0.dtype)], -1),
+                jnp.concatenate([jnp.zeros((ci1, co0), k1.dtype), k1], -1),
+            ], 0)
+            b = jnp.concatenate([hd0["bias"], hd1["bias"]])
+        o = jnp.einsum(
+            "bhwc,cf->bfhw", h, k.astype(model.dtype),
+            preferred_element_type=model.dtype,
+        )
+        return o + b.astype(model.dtype)[None, :, None, None]
+
+    hd = {br: params[br]["header"] for br in BRANCHES}
+    oh = header_cmajor(h01, hd[BRANCHES[0]], hd[BRANCHES[1]])
+    nt = header_cmajor(tails[0], hd[BRANCHES[2]])
+    n_nb = hd[BRANCHES[0]]["kernel"].shape[-1]
+    nb = oh[:, :n_nb].astype(jnp.float32)
+    out["np_prob"] = jax.nn.sigmoid(nb[:, 1] - nb[:, 0])
+    if model.regression_loss:
+        out["reg0"] = nb[:, 2]
+        out["reg1"] = nb[:, 3]
+    out["hv0"] = oh[:, n_nb].astype(jnp.float32)
+    out["hv1"] = oh[:, n_nb + 1].astype(jnp.float32)
+    out["type_map_cmajor"] = nt
     return out

@@ -253,7 +253,8 @@ def _flash_relpos_kernel(
     o_ref[0] = (acc / jnp.maximum(l_prev, 1e-30)).astype(o_ref.dtype)
 
 
-def _win_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int):
+def _win_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int,
+                     exp2: bool = False):
     """Whole-window attention for a batch of WB (window·head) pairs.
 
     SAM's windowed blocks attend within 196-token windows
@@ -271,6 +272,9 @@ def _win_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int):
     storage dtype (house numerics, see `_flash_kernel`)."""
     wb = q_ref.shape[0]
     n_pad = q_ref.shape[1]
+    # exp2=True: the caller pre-scaled q by log2(e) (softmax is invariant
+    # under the base change; exp2 is the cheaper VPU op — see _flash_kernel)
+    ex = jnp.exp2 if exp2 else jnp.exp
     for w in range(wb):  # static unroll over the (window·head) batch
         q = q_ref[w]  # (Np, DQK)
         k = k_ref[w]
@@ -280,18 +284,18 @@ def _win_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int):
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(col < n_real, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp((logits - m).astype(q.dtype))
+        p = ex((logits - m).astype(q.dtype))
         l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
         o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         o_ref[w] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _win_core(q, k, v, window_block, interpret):
-    return _win_fwd(q, k, v, window_block, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _win_core(q, k, v, window_block, interpret, exp2=False):
+    return _win_fwd(q, k, v, window_block, interpret, exp2)
 
 
-def _win_fwd(q, k, v, window_block, interpret):
+def _win_fwd(q, k, v, window_block, interpret, exp2=False):
     """(B, N, H, D) per-window attention via the VMEM-resident kernel.
     Folds (window, head) into one flat batch axis (the same transpose the
     flash route pays — a head-major (H, NW, N, D) blocking measured ~2 ms
@@ -314,7 +318,7 @@ def _win_fwd(q, k, v, window_block, interpret):
 
     qf, kf, vf = prep(q), prep(k), prep(v)
     out = pl.pallas_call(
-        functools.partial(_win_attn_kernel, n_real=n),
+        functools.partial(_win_attn_kernel, n_real=n, exp2=exp2),
         grid=(bh_pad // wb,),
         in_specs=[
             pl.BlockSpec((wb, n_pad, d), lambda j: (j, 0, 0)),
@@ -329,25 +333,34 @@ def _win_fwd(q, k, v, window_block, interpret):
     return out.transpose(0, 2, 1, 3)
 
 
-def _win_core_fwd(q, k, v, window_block, interpret):
-    return _win_fwd(q, k, v, window_block, interpret), (q, k, v)
+def _win_core_fwd(q, k, v, window_block, interpret, exp2=False):
+    return _win_fwd(q, k, v, window_block, interpret, exp2), (q, k, v)
 
 
-def _win_core_bwd(window_block, interpret, res, do):
+def _win_core_bwd(window_block, interpret, exp2, res, do):
     """Backward by exact recompute in XLA (fp32 softmax): windows are
     tiny in every training regime (256² crops → 4 windows/image), so
-    materializing (B, H, N, N) logits only in the backward is cheap."""
+    materializing (B, H, N, N) logits only in the backward is cheap.
+
+    With exp2 the caller pre-scaled q by log2(e), so the function computed
+    inside this boundary is softmax(q·kᵀ·ln2)·v — the recompute and the
+    dq/dk products carry the ln2 factor (the outer ×log2e is chain-ruled
+    by XLA outside the boundary)."""
     q, k, v = res
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     dof = do.astype(jnp.float32)
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    if exp2:
+        logits = logits * LN2
     p = jax.nn.softmax(logits, axis=-1)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, dof)
     dp = jnp.einsum("bqhd,bkhd->bhqk", dof, vf)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = p * (dp - delta)
+    if exp2:
+        ds = ds * LN2
     dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf).astype(q.dtype)
     dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf).astype(k.dtype)
     return dq, dk, dv.astype(v.dtype)
@@ -357,7 +370,7 @@ _win_core.defvjp(_win_core_fwd, _win_core_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window_block", "interpret")
+    jax.jit, static_argnames=("window_block", "interpret", "exp2")
 )
 def window_attention(
     q: jnp.ndarray,
@@ -365,6 +378,7 @@ def window_attention(
     v: jnp.ndarray,
     window_block: int = 8,
     interpret: bool = False,
+    exp2: bool = False,
 ) -> jnp.ndarray:
     """Softmax(q·kᵀ)·v independently per batch element (= per window),
     for short sequences (N ≲ 256) whose logits tile fits in VMEM.
@@ -372,9 +386,11 @@ def window_attention(
     The batch dim is the window axis (e.g. B·25 windows of 196 tokens for
     SAM's 14×14 windowed attention at 1024² tiles). No scale is applied —
     fold it into q (the rel-pos lane augmentation already requires
-    scale=1). q/k may be wider than v; the output takes v's width.
-    Differentiable: backward recomputes exactly in XLA."""
-    return _win_core(q, k, v, window_block, interpret)
+    scale=1). With exp2=True the caller has ALSO folded log2(e) into q and
+    the kernel runs the softmax base-2. q/k may be wider than v; the
+    output takes v's width. Differentiable: backward recomputes exactly
+    in XLA."""
+    return _win_core(q, k, v, window_block, interpret, exp2)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> Tuple[jnp.ndarray, int]:
@@ -705,12 +721,15 @@ def flash_attention_relpos(
     b, n, h, d = q.shape
     assert n == gh * gw
 
-    # Bh[b,q,h,i] = Σ_d q·RelH[qi(q), i, d];  Bw[b,q,h,j] similarly (small)
+    # Bh[b,q,h,i] = Σ_d q·RelH[qi(q), i, d];  Bw[b,q,h,j] similarly (small).
+    # Inputs stay in the storage dtype with fp32 accumulation: the result
+    # is quantized to q.dtype anyway, and the fp32-upcast variant
+    # materialized a full fp32 copy of q per windowed block.
     rq = q.reshape(b, gh, gw, h, d)
-    bh = jnp.einsum("bijnd,ikd->bijnk", rq.astype(jnp.float32),
-                    rel_pos_h.astype(jnp.float32))
-    bw = jnp.einsum("bijnd,jld->bijnl", rq.astype(jnp.float32),
-                    rel_pos_w.astype(jnp.float32))
+    bh = jnp.einsum("bijnd,ikd->bijnk", rq, rel_pos_h.astype(q.dtype),
+                    preferred_element_type=jnp.float32)
+    bw = jnp.einsum("bijnd,jld->bijnl", rq, rel_pos_w.astype(q.dtype),
+                    preferred_element_type=jnp.float32)
     bh = bh.reshape(b, n, h, gh).astype(q.dtype)
     bw = bw.reshape(b, n, h, gw).astype(q.dtype)
 
@@ -729,8 +748,11 @@ def flash_attention_relpos(
         # 5.24→5.00 ms per block-equivalent), 8 at head_dim 80 (SAM-H
         # 7.29 vs 7.64) — r4 WB sweep at 200 windows × heads, b8×1024²
         wb = 16 if v.shape[-1] <= 64 else 8
+        # base-2 softmax: log2(e) folds into q' (XLA fuses the multiply
+        # into the concat producer), the kernel runs exp2
+        q_aug = q_aug * jnp.asarray(LOG2E, q_aug.dtype)
         return window_attention(q_aug, k_aug, v, window_block=wb,
-                                interpret=interpret)
+                                interpret=interpret, exp2=True)
 
     # large global grids (SAM 64×64 at 1024² tiles): the direct-bias
     # kernel keeps the q·kᵀ contraction d-wide and adds Bh/Bw in VMEM —

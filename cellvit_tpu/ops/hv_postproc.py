@@ -33,7 +33,8 @@ from cellvit_tpu.ops.watershed import watershed
 )
 def _instance_map_impl(
     np_prob: jnp.ndarray,
-    hv_map: jnp.ndarray,
+    hv0: jnp.ndarray,
+    hv1: jnp.ndarray,
     object_size: int,
     ksize: int,
     cc_iters: int,
@@ -93,8 +94,8 @@ def _instance_map_impl(
     blb = lab > 0
     blbf = blb.astype(jnp.float32)
 
-    h_dir = filters.minmax_normalize(hv_map[..., 0].astype(jnp.float32))
-    v_dir = filters.minmax_normalize(hv_map[..., 1].astype(jnp.float32))
+    h_dir = filters.minmax_normalize(hv0.astype(jnp.float32))
+    v_dir = filters.minmax_normalize(hv1.astype(jnp.float32))
     sobelh = 1.0 - filters.minmax_normalize(filters.sobel(h_dir, 1, 0, ksize))
     sobelv = 1.0 - filters.minmax_normalize(filters.sobel(v_dir, 0, 1, ksize))
 
@@ -140,5 +141,28 @@ def instance_map_batch(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     return _instance_map_impl(
-        np_prob, hv_map, object_size, ksize, cc_iters, use_pallas, levels
+        np_prob, hv_map[..., 0], hv_map[..., 1], object_size, ksize,
+        cc_iters, use_pallas, levels,
+    )
+
+
+def instance_map_batch_maps(
+    np_prob: jnp.ndarray,
+    hv0: jnp.ndarray,
+    hv1: jnp.ndarray,
+    object_size: int = 10,
+    ksize: int = 21,
+    cc_iters: int = 64,
+    use_pallas: Optional[bool] = None,
+    levels: int = 64,
+) -> jnp.ndarray:
+    """`instance_map_batch` taking the H/V channels as separate (B, H, W)
+    maps. This is the layout-friendly entry: a channel-minor (B, H, W, 2)
+    tensor is lane-padded 64× in HBM on TPU, so producers that can emit
+    W-minor scalar maps (`models/fused.py:fused_forward_maps`) skip that
+    tax (measured −3.5 ms at 8×1024², round 4)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    return _instance_map_impl(
+        np_prob, hv0, hv1, object_size, ksize, cc_iters, use_pallas, levels
     )

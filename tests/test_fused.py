@@ -48,6 +48,71 @@ def test_fused_forward_matches_module(regression):
         )
 
 
+@pytest.mark.parametrize("regression", [False, True])
+def test_fused_forward_maps_matches_fused(regression):
+    """The W-minor maps path must agree with the channel-minor path:
+    np_prob == softmax(nb)[..., 1], hv0/hv1 == hv_map channels,
+    type_map_cmajor == nuclei_type_map transposed."""
+    from cellvit_tpu.models import CellViT
+    from cellvit_tpu.models.fused import fused_forward, fused_forward_maps
+
+    m = CellViT(
+        num_nuclei_classes=6, num_tissue_classes=19, embed_dim=64, depth=4,
+        num_heads=2, extract_layers=(1, 2, 3, 4), encoder_type="histo",
+        regression_loss=regression,
+    )
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    v = _randomize_batch_stats(v)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    ref = jax.jit(lambda v, x: fused_forward(m, v, x))(v, x)
+    got = jax.jit(lambda v, x: fused_forward_maps(m, v, x))(v, x)
+    np.testing.assert_allclose(
+        np.asarray(got["np_prob"]),
+        np.asarray(
+            jax.nn.softmax(ref["nuclei_binary_map"].astype(jnp.float32), -1)
+        )[..., 1],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["hv0"]), np.asarray(ref["hv_map"][..., 0]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got["hv1"]), np.asarray(ref["hv_map"][..., 1]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got["type_map_cmajor"]),
+        np.asarray(ref["nuclei_type_map"]).transpose(0, 3, 1, 2), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got["tissue_types"]), np.asarray(ref["tissue_types"]),
+        atol=1e-6)
+    if regression:
+        np.testing.assert_allclose(
+            np.asarray(got["reg0"]),
+            np.asarray(ref["regression_map"][..., 0]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(got["reg1"]),
+            np.asarray(ref["regression_map"][..., 1]), atol=1e-6)
+
+
+def test_instance_map_batch_maps_matches():
+    """The scalar-maps postproc entry equals the (B,H,W,2) entry."""
+    from cellvit_tpu.ops.hv_postproc import (
+        instance_map_batch, instance_map_batch_maps)
+
+    rng = np.random.default_rng(5)
+    size = 128
+    np_prob = np.zeros((2, size, size), np.float32)
+    hv = rng.uniform(-1, 1, (2, size, size, 2)).astype(np.float32)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for b in range(2):
+        for _ in range(12):
+            cy, cx = rng.integers(8, size - 8, 2)
+            r = int(rng.integers(3, 7))
+            np_prob[b][(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 0.9
+    a = np.asarray(instance_map_batch(jnp.asarray(np_prob), jnp.asarray(hv)))
+    b = np.asarray(instance_map_batch_maps(
+        jnp.asarray(np_prob), jnp.asarray(hv[..., 0]), jnp.asarray(hv[..., 1])))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_forward_matches_module_sam():
     from cellvit_tpu.models import CellViT
     from cellvit_tpu.models.fused import fused_forward
