@@ -31,7 +31,10 @@ from cellvit_tpu.data.loader import DataLoader, SequentialSampler
 from cellvit_tpu.data.wsi import WSI, PatchedWSIInference
 from cellvit_tpu.inference import dedup as dd
 from cellvit_tpu.inference.geojson_export import convert_geojson
-from cellvit_tpu.ops.hv_postproc import instance_map_batch
+from cellvit_tpu.ops.hv_postproc import (
+    instance_map_batch,
+    instance_map_batch_maps,
+)
 from cellvit_tpu.ops.instance_stats import (
     contours_from_instance_map,
     instance_stats_batch,
@@ -209,22 +212,72 @@ class CellSegmentationInference:
                 self.variables, replicate(self.mesh)
             )
         from cellvit_tpu.models.cellvit import CellViT as _CellViT
-        from cellvit_tpu.models.fused import fused_forward
+        from cellvit_tpu.models.fused import fused_forward_maps
 
         if type(self.model) is _CellViT:
-            # separate-tower HV model: concat-free fused decoder towers
-            # (models/fused.py — ~45 ms faster per batch-8 1024² step)
-            self._forward = jax.jit(
-                lambda v, x: fused_forward(
+            # separate-tower HV model: concat-free fused decoder towers with
+            # W-minor header maps (models/fused.py — narrow channel-minor
+            # maps pay a 64× HBM lane-padding tax on TPU)
+            self._forward_maps = jax.jit(
+                lambda v, x: fused_forward_maps(
                     self.model, v, x, retrieve_tokens=True
                 )
             )
-        else:
-            self._forward = jax.jit(
-                lambda v, x: self.model.apply(
-                    v, x, train=False, retrieve_tokens=True
-                )
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(
+                v, x, train=False, retrieve_tokens=True
             )
+        )
+
+    def _get_device_post(self):
+        """ONE jit for everything after the model forward (probability maps
+        → watershed → relabel → per-instance stats): the previous
+        formulation ran softmax/argmax/astype as eager ops between the jits,
+        each paying a dispatch round-trip (~30-90 ms over a remote-TPU
+        tunnel). Built lazily so tests can stub `_forward` (standard
+        channel-minor outputs) after construction; `_forward_maps` (set for
+        separate-tower HV models) emits postproc-ready W-minor maps."""
+        post = getattr(self, "_device_post_fn", None)
+        if post is not None:
+            return post
+        use_maps = hasattr(self, "_forward_maps")
+
+        def _device_post(out, ksize, object_size):
+            if use_maps:
+                np1 = out["np_prob"]
+                inst = instance_map_batch_maps(
+                    np1, out["hv0"], out["hv1"],
+                    object_size=object_size, ksize=ksize,
+                )
+                # softmax is monotone per pixel: argmax over raw logits
+                type_map = jnp.argmax(
+                    out["type_map_cmajor"], 1
+                ).astype(jnp.int32)
+            else:
+                np1 = jax.nn.softmax(
+                    out["nuclei_binary_map"].astype(jnp.float32), -1
+                )[..., 1]
+                inst = instance_map_batch(
+                    np1, out["hv_map"].astype(jnp.float32),
+                    object_size=object_size, ksize=ksize,
+                )
+                type_map = jnp.argmax(
+                    out["nuclei_type_map"], -1
+                ).astype(jnp.int32)
+            h, w = inst.shape[1], inst.shape[2]
+            inst = jax.vmap(
+                lambda m: relabel_consecutive(m, h * w // 2 + 2)
+            )(inst)
+            stats = instance_stats_batch(
+                inst, type_map, np1,
+                max_instances=self.max_instances,
+                num_classes=self.num_nuclei_classes,
+            )
+            return inst, stats
+
+        post = jax.jit(_device_post, static_argnames=("ksize", "object_size"))
+        self._device_post_fn = post
+        return post
 
     # ----------------------------------------------------------- checks
 
@@ -273,29 +326,20 @@ class CellSegmentationInference:
             n_data = self.mesh.shape["data"]
             padded = -(-n_batch // n_data) * n_data
             x = shard_batch(pad_batch_to(np.asarray(x), padded), self.mesh)
-            out = self._forward(self.variables, x)
         else:
-            out = self._forward(self.variables, jnp.asarray(x))
-        np_prob = jax.nn.softmax(out["nuclei_binary_map"].astype(jnp.float32), -1)
-        nt_prob = jax.nn.softmax(out["nuclei_type_map"].astype(jnp.float32), -1)
+            x = jnp.asarray(x)
         ksize, object_size = (21, 10) if magnification == 40 else (11, 3)
-        inst = instance_map_batch(
-            np_prob[..., 1], out["hv_map"].astype(jnp.float32),
-            object_size=object_size, ksize=ksize,
-        )
-        h, w = inst.shape[1], inst.shape[2]
-        inst = jax.vmap(lambda m: relabel_consecutive(m, h * w // 2 + 2))(inst)
-        type_map = jnp.argmax(nt_prob, -1).astype(jnp.int32)
-        stats = instance_stats_batch(
-            inst, type_map, np_prob[..., 1],
-            max_instances=self.max_instances,
-            num_classes=self.num_nuclei_classes,
+        fwd = getattr(self, "_forward_maps", None) or self._forward
+        out = fwd(self.variables, x)
+        tokens = out["tokens"]
+        inst, stats = self._get_device_post()(
+            out, ksize=ksize, object_size=object_size
         )
         inst_np = np.asarray(inst)[:n_batch]
         stats = jax.tree_util.tree_map(
             lambda a: np.asarray(a)[:n_batch], stats
         )
-        tokens = np.asarray(out["tokens"], np.float32)[:n_batch]
+        tokens = np.asarray(tokens, np.float32)[:n_batch]
         return inst_np, stats, tokens
 
     def _predict_batch(

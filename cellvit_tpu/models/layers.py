@@ -171,6 +171,11 @@ class Mlp(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
+        # keep the erf-gelu OUT of the fc2 matmul prologue: XLA otherwise
+        # fuses it into the dot and the MXU runs at half rate (SAM-H fc2
+        # profiled 4.75 ms ≈ 90 TF/s fused vs fc1's 2.26 ≈ 190 TF/s; the
+        # barrier trades that for one HBM round-trip of the hidden tensor)
+        x = jax.lax.optimization_barrier(x)
         if self.dropout > 0.0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)

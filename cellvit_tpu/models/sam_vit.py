@@ -91,7 +91,14 @@ class SamAttention(nn.Module):
         nh = self.num_heads
         hd = c // nh
         scale = hd**-0.5
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        # project on the 2-D flattened tokens: on the 3/4-D windowed shape
+        # (200 windows × 196 tokens at 1024²) XLA picks a batch-in-lanes
+        # matmul emitter whose {0,4,3,2,1} output layout costs ~4 ms/block
+        # of downstream relayout copies (round-4 HLO profile); the 2-D form
+        # runs the same dot at 173 TF/s with a plain row-major output
+        qkv = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x.reshape(b * h * w, c))
         qkv = qkv.reshape(b, h * w, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, nh, hd)
 
@@ -119,8 +126,10 @@ class SamAttention(nn.Module):
             rh = gather_rel_pos(rel_pos_h, h)
             rw = gather_rel_pos(rel_pos_w, w)
             out = flash_attention_relpos(q, k, v, rh, rw, grid_hw=(h, w))
-            out = out.reshape(b, h, w, c)
-            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+            out = nn.Dense(c, dtype=self.dtype, name="proj")(
+                out.reshape(b * h * w, c)
+            )
+            return out.reshape(b, h, w, c)
 
         if self.use_rel_pos:
             n_table = 2 * self.rel_pos_dim - 1
