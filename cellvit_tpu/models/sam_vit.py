@@ -100,7 +100,6 @@ class SamAttention(nn.Module):
             3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )(x.reshape(b * h * w, c))
         qkv = qkv.reshape(b, h * w, 3, nh, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, nh, hd)
 
         # flash kernel with the decomposed rel-pos bias folded in — both the
         # global grids (1024² tiles → 64×64 tokens) AND the 14×14 windows
@@ -116,6 +115,12 @@ class SamAttention(nn.Module):
         ):
             from cellvit_tpu.ops.attention import flash_attention_relpos
 
+            # ONE packed head-major transpose of qkv (3, B, H, N, D) whose
+            # slices are free views, instead of three per-tensor relayouts
+            # inside the kernel staging (round-4 HLO profile: the q/k/v
+            # prep copies were ~4 ms of a 19 ms SAM-H windowed block)
+            qkv_hm = qkv.transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv_hm[0], qkv_hm[1], qkv_hm[2]  # (B, nh, N, hd)
             n_table = 2 * self.rel_pos_dim - 1
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros, (n_table, hd), jnp.float32
@@ -125,11 +130,13 @@ class SamAttention(nn.Module):
             )
             rh = gather_rel_pos(rel_pos_h, h)
             rw = gather_rel_pos(rel_pos_w, w)
-            out = flash_attention_relpos(q, k, v, rh, rw, grid_hw=(h, w))
+            out = flash_attention_relpos(q, k, v, rh, rw, grid_hw=(h, w),
+                                         layout="bhnd")
             out = nn.Dense(c, dtype=self.dtype, name="proj")(
                 out.reshape(b * h * w, c)
             )
             return out.reshape(b, h, w, c)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, nh, hd)
 
         if self.use_rel_pos:
             n_table = 2 * self.rel_pos_dim - 1

@@ -290,18 +290,25 @@ def _win_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int,
         o_ref[w] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _win_core(q, k, v, window_block, interpret, exp2=False):
-    return _win_fwd(q, k, v, window_block, interpret, exp2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _win_core(q, k, v, window_block, interpret, exp2=False, layout="bnhd"):
+    return _win_fwd(q, k, v, window_block, interpret, exp2, layout)
 
 
-def _win_fwd(q, k, v, window_block, interpret, exp2=False):
-    """(B, N, H, D) per-window attention via the VMEM-resident kernel.
+def _win_fwd(q, k, v, window_block, interpret, exp2=False, layout="bnhd"):
+    """Per-window attention via the VMEM-resident kernel.
     Folds (window, head) into one flat batch axis (the same transpose the
     flash route pays — a head-major (H, NW, N, D) blocking measured ~2 ms
     slower per SAM-B block), pads N to the sublane multiple and the flat
-    batch to the window block."""
-    b, n, h, d = q.shape
+    batch to the window block. With layout="bhnd" the inputs are already
+    head-major (B, H, N, D) and the flatten is a free reshape — the SAM
+    windowed path pays ONE packed qkv transpose instead of three per-tensor
+    relayouts here (round-4 HLO profile: the prep copies were ~4 ms of a
+    19 ms SAM-H block)."""
+    if layout == "bhnd":
+        b, h, n, d = q.shape
+    else:
+        b, n, h, d = q.shape
     dv = v.shape[-1]
     sub = 8 if q.dtype == jnp.float32 else 16
     n_pad = -(-n // sub) * sub
@@ -310,8 +317,12 @@ def _win_fwd(q, k, v, window_block, interpret, exp2=False):
     bh_pad = -(-bh // wb) * wb
 
     def prep(x):
-        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
-        x = x.transpose(0, 2, 1, 3).reshape(bh, n_pad, x.shape[-1])
+        if layout == "bhnd":
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+            x = x.reshape(bh, n_pad, x.shape[-1])
+        else:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+            x = x.transpose(0, 2, 1, 3).reshape(bh, n_pad, x.shape[-1])
         if bh_pad != bh:
             x = jnp.pad(x, ((0, bh_pad - bh), (0, 0), (0, 0)))
         return x
@@ -330,14 +341,17 @@ def _win_fwd(q, k, v, window_block, interpret, exp2=False):
         interpret=interpret,
     )(qf, kf, vf)
     out = out[:bh].reshape(b, h, n_pad, dv)[:, :, :n]
+    # output is token-major (B, N, H, D) in both layouts: the projection
+    # consumes (B, N, H·D), so this transpose is paid either way
     return out.transpose(0, 2, 1, 3)
 
 
-def _win_core_fwd(q, k, v, window_block, interpret, exp2=False):
-    return _win_fwd(q, k, v, window_block, interpret, exp2), (q, k, v)
+def _win_core_fwd(q, k, v, window_block, interpret, exp2=False,
+                  layout="bnhd"):
+    return _win_fwd(q, k, v, window_block, interpret, exp2, layout), (q, k, v)
 
 
-def _win_core_bwd(window_block, interpret, exp2, res, do):
+def _win_core_bwd(window_block, interpret, exp2, layout, res, do):
     """Backward by exact recompute in XLA (fp32 softmax): windows are
     tiny in every training regime (256² crops → 4 windows/image), so
     materializing (B, H, N, N) logits only in the backward is cheap.
@@ -350,7 +364,21 @@ def _win_core_bwd(window_block, interpret, exp2, res, do):
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    dof = do.astype(jnp.float32)
+    dof = do.astype(jnp.float32)  # token-major (B, N, H, D) in both layouts
+    if layout == "bhnd":
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf)
+        if exp2:
+            logits = logits * LN2
+        p = jax.nn.softmax(logits, axis=-1)
+        dv = jnp.einsum("bhqk,bqhd->bhkd", p, dof)
+        dp = jnp.einsum("bqhd,bhkd->bhqk", dof, vf)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        if exp2:
+            ds = ds * LN2
+        dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf).astype(q.dtype)
+        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf).astype(k.dtype)
+        return dq, dk, dv.astype(v.dtype)
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
     if exp2:
         logits = logits * LN2
@@ -370,7 +398,7 @@ _win_core.defvjp(_win_core_fwd, _win_core_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window_block", "interpret", "exp2")
+    jax.jit, static_argnames=("window_block", "interpret", "exp2", "layout")
 )
 def window_attention(
     q: jnp.ndarray,
@@ -379,6 +407,7 @@ def window_attention(
     window_block: int = 8,
     interpret: bool = False,
     exp2: bool = False,
+    layout: str = "bnhd",
 ) -> jnp.ndarray:
     """Softmax(q·kᵀ)·v independently per batch element (= per window),
     for short sequences (N ≲ 256) whose logits tile fits in VMEM.
@@ -387,10 +416,11 @@ def window_attention(
     SAM's 14×14 windowed attention at 1024² tiles). No scale is applied —
     fold it into q (the rel-pos lane augmentation already requires
     scale=1). With exp2=True the caller has ALSO folded log2(e) into q and
-    the kernel runs the softmax base-2. q/k may be wider than v; the
-    output takes v's width. Differentiable: backward recomputes exactly
-    in XLA."""
-    return _win_core(q, k, v, window_block, interpret, exp2)
+    the kernel runs the softmax base-2. layout="bhnd" takes head-major
+    inputs (flattening becomes a free reshape); the output is token-major
+    (B, N, H, D) in both layouts. q/k may be wider than v; the output
+    takes v's width. Differentiable: backward recomputes exactly in XLA."""
+    return _win_core(q, k, v, window_block, interpret, exp2, layout)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> Tuple[jnp.ndarray, int]:
@@ -586,11 +616,14 @@ def flash_attention(
     return out[:, :n, :].reshape(b, h, n, dv).transpose(0, 2, 1, 3)
 
 
-def _relpos_aug(q, k, bh, bw, grid_hw):
+def _relpos_aug(q, k, bh, bw, grid_hw, layout="bnhd"):
     """Augmented-lane (q', k') tensors for the decomposed rel-pos bias —
-    shared by the fallback forward and the direct-bias kernel's backward."""
+    shared by the fallback forward and the direct-bias kernel's backward.
+    `layout`: "bnhd" (token-major) or "bhnd" (head-major, the SAM windowed
+    fast path — no transpose needed before the flat (B·H, N, D) kernel)."""
     gh, gw = grid_hw
-    b, n, h, d = q.shape
+    d = q.shape[-1]
+    n = gh * gw
     scale = d**-0.5
     ii = jnp.arange(n, dtype=jnp.int32) // gw
     jj = jnp.arange(n, dtype=jnp.int32) % gw
@@ -598,30 +631,41 @@ def _relpos_aug(q, k, bh, bw, grid_hw):
         [jax.nn.one_hot(ii, gh, dtype=k.dtype),
          jax.nn.one_hot(jj, gw, dtype=k.dtype)], axis=-1
     )  # (N, gh+gw)
+    if layout == "bnhd":
+        oh = onehot[None, :, None, :]
+    else:  # bhnd: N is axis 2
+        oh = onehot[None, None, :, :]
     q_aug = jnp.concatenate([q * scale, bh, bw], axis=-1)
     k_aug = jnp.concatenate(
-        [k, jnp.broadcast_to(onehot[None, :, None, :], (b, n, h, gh + gw))],
-        axis=-1,
+        [k, jnp.broadcast_to(oh, k.shape[:-1] + (gh + gw,))], axis=-1
     )
     return q_aug, k_aug
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _relpos_core(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _relpos_core(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret,
+                 layout="bnhd"):
     return _relpos_fwd_only(q, k, v, bh, bw, grid_hw, block_q, block_k,
-                            interpret)
+                            interpret, layout)
 
 
-def _relpos_fwd_only(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret):
-    """(B, N, H, D) global rel-pos attention via the direct-bias VMEM
-    kernel: d-wide q·kᵀ on the MXU, bias as VPU adds on the logits tile
-    (vs 2-3× the dot FLOPs on the lane-augmented path)."""
+def _relpos_fwd_only(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret,
+                     layout="bnhd"):
+    """Global rel-pos attention via the direct-bias VMEM kernel: d-wide
+    q·kᵀ on the MXU, bias as VPU adds on the logits tile (vs 2-3× the dot
+    FLOPs on the lane-augmented path). layout="bhnd" takes head-major
+    inputs whose flattening is a free reshape."""
     gh, gw = grid_hw
-    b, n, h, d = q.shape
+    if layout == "bhnd":
+        b, h, n, d = q.shape
+    else:
+        b, n, h, d = q.shape
     dv = v.shape[-1]
     scale = d**-0.5
 
     def reshape(x):
+        if layout == "bhnd":
+            return x.reshape(b * h, n, x.shape[-1])
         return x.transpose(0, 2, 1, 3).reshape(b * h, n, x.shape[-1])
 
     qf = reshape(q) * jnp.asarray(scale * LOG2E, q.dtype)
@@ -647,22 +691,28 @@ def _relpos_fwd_only(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret):
     return out.reshape(b, h, n, dv).transpose(0, 2, 1, 3)
 
 
-def _relpos_core_fwd(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret):
+def _relpos_core_fwd(q, k, v, bh, bw, grid_hw, block_q, block_k, interpret,
+                     layout="bnhd"):
     out = _relpos_fwd_only(q, k, v, bh, bw, grid_hw, block_q, block_k,
-                           interpret)
+                           interpret, layout)
     return out, (q, k, v, bh, bw)
 
 
-def _relpos_core_bwd(grid_hw, block_q, block_k, interpret, res, do):
+def _relpos_core_bwd(grid_hw, block_q, block_k, interpret, layout, res, do):
     """Backward through the mathematically-identical augmented-lane path:
     dq'/dk' slices give dq, dk, dBh, dBw (the indicator lanes of k' are
     constants). Global rel-pos attention only occurs at 1024²-tile
     inference in the shipped configs (256² training crops route through
-    the window kernel), so the backward optimizes for correctness."""
+    the window kernel), so the backward optimizes for correctness (the
+    head-major layout round-trips through token-major for the flash
+    backward)."""
     q, k, v, bh, bw = res
     d = q.shape[-1]
     gh = bh.shape[-1]
     scale = d**-0.5
+    if layout == "bhnd":
+        tm = lambda x: x.transpose(0, 2, 1, 3)
+        q, k, v, bh, bw = tm(q), tm(k), tm(v), tm(bh), tm(bw)
     q_aug, k_aug = _relpos_aug(q, k, bh, bw, grid_hw)
     _, vjp = jax.vjp(
         lambda qa, ka, vv: flash_attention(qa, ka, vv, scale=1.0,
@@ -674,13 +724,18 @@ def _relpos_core_bwd(grid_hw, block_q, block_k, interpret, res, do):
     dbh = dqa[..., d : d + gh]
     dbw = dqa[..., d + gh :]
     dk = dka[..., :d]
+    if layout == "bhnd":
+        dq, dk, dv = tm(dq), tm(dk), tm(dv)
+        dbh, dbw = tm(dbh), tm(dbw)
     return dq, dk, dv, dbh, dbw
 
 
 _relpos_core.defvjp(_relpos_core_fwd, _relpos_core_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_hw", "block_q", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("grid_hw", "block_q", "interpret", "layout")
+)
 def flash_attention_relpos(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -690,6 +745,7 @@ def flash_attention_relpos(
     grid_hw: Tuple[int, int],
     block_q: Optional[int] = None,
     interpret: bool = False,
+    layout: str = "bnhd",
 ) -> jnp.ndarray:
     """SAM attention with decomposed rel-pos bias
     (`add_decomposed_rel_pos`, image_encoder.py:354-392).
@@ -712,26 +768,42 @@ def flash_attention_relpos(
     autodiff carries Bh/Bw back through the einsums into q and the tables.
 
     Args:
-        q/k/v: (B, N, H, D) with N = grid_h · grid_w tokens in row-major
-            grid order.
+        q/k/v: (B, N, H, D) — or (B, H, N, D) with layout="bhnd" — with
+            N = grid_h · grid_w tokens in row-major grid order. The
+            head-major form lets the flat (B·H, N, D) kernel staging be a
+            free reshape; the SAM encoder feeds it from ONE packed qkv
+            transpose instead of three per-tensor relayouts.
         rel_pos_h/w: gathered tables (side, side, D) from
             `cellvit_tpu.models.sam_vit.gather_rel_pos`.
+    Returns: token-major (B, N, H, D) in both layouts.
     """
     gh, gw = grid_hw
-    b, n, h, d = q.shape
+    if layout == "bhnd":
+        b, h, n, d = q.shape
+    else:
+        b, n, h, d = q.shape
     assert n == gh * gw
 
     # Bh[b,q,h,i] = Σ_d q·RelH[qi(q), i, d];  Bw[b,q,h,j] similarly (small).
     # Inputs stay in the storage dtype with fp32 accumulation: the result
     # is quantized to q.dtype anyway, and the fp32-upcast variant
     # materialized a full fp32 copy of q per windowed block.
-    rq = q.reshape(b, gh, gw, h, d)
-    bh = jnp.einsum("bijnd,ikd->bijnk", rq, rel_pos_h.astype(q.dtype),
-                    preferred_element_type=jnp.float32)
-    bw = jnp.einsum("bijnd,jld->bijnl", rq, rel_pos_w.astype(q.dtype),
-                    preferred_element_type=jnp.float32)
-    bh = bh.reshape(b, n, h, gh).astype(q.dtype)
-    bw = bw.reshape(b, n, h, gw).astype(q.dtype)
+    if layout == "bhnd":
+        rq = q.reshape(b, h, gh, gw, d)
+        bh = jnp.einsum("bhijd,ikd->bhijk", rq, rel_pos_h.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+        bw = jnp.einsum("bhijd,jld->bhijl", rq, rel_pos_w.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+        bh = bh.reshape(b, h, n, gh).astype(q.dtype)
+        bw = bw.reshape(b, h, n, gw).astype(q.dtype)
+    else:
+        rq = q.reshape(b, gh, gw, h, d)
+        bh = jnp.einsum("bijnd,ikd->bijnk", rq, rel_pos_h.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+        bw = jnp.einsum("bijnd,jld->bijnl", rq, rel_pos_w.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+        bh = bh.reshape(b, n, h, gh).astype(q.dtype)
+        bw = bw.reshape(b, n, h, gw).astype(q.dtype)
 
     # short sequences (the 14×14 windows, N=196, windows as batch; or
     # 16×16 global grids at 256² training crops): whole-window VMEM
@@ -743,7 +815,7 @@ def flash_attention_relpos(
     # The lane augmentation costs nothing extra here: d + gh + gw ≤ 128
     # for every 14×14 window config, inside the 128-lane minimum tile.
     if n <= 256:
-        q_aug, k_aug = _relpos_aug(q, k, bh, bw, (gh, gw))
+        q_aug, k_aug = _relpos_aug(q, k, bh, bw, (gh, gw), layout)
         # window-batch size: 16 measured best at head_dim 64 (SAM-B
         # 5.24→5.00 ms per block-equivalent), 8 at head_dim 80 (SAM-H
         # 7.29 vs 7.64) — r4 WB sweep at 200 windows × heads, b8×1024²
@@ -752,7 +824,8 @@ def flash_attention_relpos(
         # into the concat producer), the kernel runs exp2
         q_aug = q_aug * jnp.asarray(LOG2E, q_aug.dtype)
         return window_attention(q_aug, k_aug, v, window_block=wb,
-                                interpret=interpret, exp2=True)
+                                interpret=interpret, exp2=True,
+                                layout=layout)
 
     # large global grids (SAM 64×64 at 1024² tiles): the direct-bias
     # kernel keeps the q·kᵀ contraction d-wide and adds Bh/Bw in VMEM —
@@ -763,12 +836,15 @@ def flash_attention_relpos(
         bq = block_q or (512 if n % 512 == 0 else None)
         if bq is not None and n % bq == 0:
             return _relpos_core(q, k, v, bh, bw, (gh, gw), bq, blk_k,
-                                interpret)
+                                interpret, layout)
 
     # fallback (ragged grids): augmented-lane flash, N-adaptive blocks
     # (fp32 staging of the 192-lane augmented q/k overflows the 16 MB
     # scoped-VMEM budget at N=4096 with 512-wide blocks — _pick_blocks
     # clamps fp32 q tiles to 256)
+    if layout == "bhnd":  # the flash fallback is token-major (rare route)
+        tm = lambda x: x.transpose(0, 2, 1, 3)
+        q, k, v, bh, bw = tm(q), tm(k), tm(v), tm(bh), tm(bw)
     q_aug, k_aug = _relpos_aug(q, k, bh, bw, (gh, gw))
     bq = min(block_q, n) if block_q is not None else None
     return flash_attention(

@@ -285,3 +285,34 @@ def test_flash_relpos_vjp_matches_xla(rng):
     for a, bb in zip(jax.grad(flash, (0, 1, 2, 3, 4))(q, k, v, rh, rw),
                      jax.grad(dense, (0, 1, 2, 3, 4))(q, k, v, rh, rw)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)
+
+
+@pytest.mark.parametrize("gh,gw,d", [(14, 14, 80), (16, 16, 64)])
+def test_flash_relpos_head_major_layout(rng, gh, gw, d):
+    """layout="bhnd" (the SAM encoder fast path: one packed qkv transpose,
+    kernel staging becomes a free reshape) must match the token-major
+    result and gradients exactly."""
+    from cellvit_tpu.ops.attention import flash_attention_relpos
+
+    b, h, n = 2, 2, gh * gw
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+        for _ in range(3)
+    )
+    rh = jnp.asarray(rng.standard_normal((gh, gh, d)) * 0.3, jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((gw, gw, d)) * 0.3, jnp.float32)
+    hm = lambda x: x.transpose(0, 2, 1, 3)
+
+    tok = lambda q_, k_, v_: flash_attention_relpos(
+        q_, k_, v_, rh, rw, grid_hw=(gh, gw), interpret=True)
+    hmj = lambda q_, k_, v_: flash_attention_relpos(
+        hm(q_), hm(k_), hm(v_), rh, rw, grid_hw=(gh, gw), layout="bhnd",
+        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(hmj(q, k, v)), np.asarray(tok(q, k, v)), atol=3e-5)
+    cot = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    f1 = lambda *a: jnp.vdot(tok(*a), cot)
+    f2 = lambda *a: jnp.vdot(hmj(*a), cot)
+    for a, bb in zip(jax.grad(f2, (0, 1, 2))(q, k, v),
+                     jax.grad(f1, (0, 1, 2))(q, k, v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)
