@@ -196,7 +196,10 @@ class InferenceCellViT:
             )
             tt_pred = np.asarray(jnp.argmax(out["tissue_types"], -1))
 
-            img_names.extend(raw.get("names", [""] * inst_np.shape[0]))
+            batch_names = raw.get("names") or [
+                f"img_{len(img_names) + i}" for i in range(inst_np.shape[0])
+            ]
+            img_names.extend(batch_names)
             gt_inst = raw["masks/instance_map"].astype(np.int32)
             gt_type = raw["masks/nuclei_type_map"].astype(np.int32)
             gt_bin = raw["masks/nuclei_binary_map"].astype(np.int32)
@@ -332,15 +335,23 @@ class InferenceCellViT:
             }
 
         # per-image table (reference schema: {name: Dice/Jaccard/bPQ},
-        # inference_cellvit_experiment_pannuke.py image_metrics)
-        image_metrics = {
-            name: {
+        # inference_cellvit_experiment_pannuke.py image_metrics).
+        # Names missing (loader without "names") or duplicated across folds
+        # would silently collapse rows — qualify repeats so every image
+        # keeps its own entry.
+        seen_names: Dict[str, int] = {}
+        image_metrics = {}
+        for i, name in enumerate(img_names):
+            if not name:
+                name = f"img_{i}"
+            n_prev = seen_names.get(name, 0)
+            seen_names[name] = n_prev + 1
+            key = name if n_prev == 0 else f"{name}#{n_prev}"
+            image_metrics[key] = {
                 "Dice": float(binary_dice[i]),
                 "Jaccard": float(binary_jacc[i]),
                 "bPQ": float(pq_arr[i]),
             }
-            for i, name in enumerate(img_names)
-        }
 
         results = {
             "dataset": dataset_metrics,

@@ -61,14 +61,20 @@ def diff_inference_results(
                 "delta": delta,
                 "within_tol": bool(delta <= atol),
             }
-            deltas.append(delta)
+            # one-sided NaN yields delta=NaN: counted via within_tol=False
+            # (NaN <= atol is False) but kept out of the max_abs_delta
+            # reduction, where Python's max() is order-dependent on NaN.
+            if not math.isnan(delta):
+                deltas.append(delta)
         elif a != b:
             per_key[k] = {
                 "ours": a, "reference": b, "delta": None, "within_tol": False
             }
     return {
         "atol": atol,
-        "n_compared": len(deltas),
+        "n_compared": sum(
+            1 for v in per_key.values() if v["delta"] is not None
+        ),
         "max_abs_delta": max(deltas, default=0.0),
         "n_outside_tol": sum(
             1 for v in per_key.values() if not v["within_tol"]

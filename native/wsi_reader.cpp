@@ -537,6 +537,10 @@ int ndpi_load_level(NdpiFile* nd, int level) {
   if (nd->cached_level == level) return 0;
   const NdpiDir& d = nd->dirs[nd->level_dirs[level]];
   if (uint64_t(d.width) * d.height > uint64_t(512) * 1024 * 1024) return 4;
+  // A StripOffsets/StripByteCounts count mismatch leaves dir.strips empty;
+  // error out rather than returning an all-white level (repo convention:
+  // explicit errors over white tiles).
+  if (d.strips.empty()) return 5;
   nd->cache.assign(size_t(d.width) * d.height * 3, 255);
   nd->cached_level = -1;
   uint32_t rps = d.rows_per_strip ? d.rows_per_strip : d.height;

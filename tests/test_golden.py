@@ -51,6 +51,10 @@ def test_nan_vs_number_is_flagged():
     ref["nuclei_metrics_pq"]["Dead"] = 0.3
     r = diff_inference_results(OURS, ref)
     assert r["per_key"]["nuclei_metrics_pq.Dead"]["within_tol"] is False
+    # the NaN delta must not leak into the max reduction (Python max()
+    # with NaN is order-dependent) — the summary stays a real number
+    assert not math.isnan(r["max_abs_delta"])
+    assert r["n_outside_tol"] >= 1
 
 
 def test_compare_to_reference_accepts_fold_dir(tmp_path):
