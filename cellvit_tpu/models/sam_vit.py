@@ -75,6 +75,33 @@ def gather_rel_pos(rel_pos: jax.Array, size: int) -> jax.Array:
     return rel_pos[idx]
 
 
+class _DenseParams(nn.Module):
+    """The parameter tree of an `nn.Dense` (kernel/bias, same names and
+    initializers) WITHOUT applying it — the fused window kernel consumes
+    the raw qkv weights, so torch checkpoints keep mapping to
+    `attn/qkv/{kernel,bias}` unchanged (`models/checkpoint_io.py:109`)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class SamAttention(nn.Module):
     """MHA over a (B, H, W, C) token grid with decomposed rel-pos bias."""
 
@@ -84,6 +111,9 @@ class SamAttention(nn.Module):
     use_rel_pos: bool = True
     rel_pos_dim: int = 14  # grid side the rel-pos table was sized for
     dtype: Dtype = jnp.float32
+    # None = auto: TPU + square grid of 196..256 tokens (the 14×14 windows
+    # at every inference size; 16×16 global grids at 256² training crops)
+    fused_window: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -91,14 +121,57 @@ class SamAttention(nn.Module):
         nh = self.num_heads
         hd = c // nh
         scale = hd**-0.5
+        w_qkv, b_qkv = _DenseParams(
+            3 * c, use_bias=self.qkv_bias, name="qkv"
+        )(c)
+
+        # fused per-window qkv+attention kernel: the projection, rel-pos
+        # bias and softmax·V run inside one Pallas program per window —
+        # q/k/v, the head-major transpose, the bias tensors and the logits
+        # never exist in HBM (ops/attention.py:window_qkv_attention; the
+        # separate-ops path below paid ~4 ms/block of pure relayout copies
+        # at SAM-H, round-4 HLO profile)
+        use_fused = self.fused_window
+        if use_fused is None:
+            use_fused = (
+                self.use_rel_pos
+                and h == w
+                and 196 <= h * w <= 256
+                and jax.default_backend() != "cpu"
+            )
+        if use_fused:
+            from cellvit_tpu.ops.attention import window_qkv_attention
+
+            n_table = 2 * self.rel_pos_dim - 1
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (n_table, hd), jnp.float32
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (n_table, hd), jnp.float32
+            )
+            rh = gather_rel_pos(rel_pos_h, h)
+            rw = gather_rel_pos(rel_pos_w, w)
+            out = window_qkv_attention(
+                x.reshape(b, h * w, c).astype(self.dtype),
+                w_qkv, b_qkv, rh, rw, nh,
+            )
+            out = nn.Dense(c, dtype=self.dtype, name="proj")(
+                out.reshape(b * h * w, c)
+            )
+            return out.reshape(b, h, w, c)
+
         # project on the 2-D flattened tokens: on the 3/4-D windowed shape
         # (200 windows × 196 tokens at 1024²) XLA picks a batch-in-lanes
         # matmul emitter whose {0,4,3,2,1} output layout costs ~4 ms/block
         # of downstream relayout copies (round-4 HLO profile); the 2-D form
-        # runs the same dot at 173 TF/s with a plain row-major output
-        qkv = nn.Dense(
-            3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
-        )(x.reshape(b * h * w, c))
+        # runs the same dot at 173 TF/s with a plain row-major output.
+        # Same math as nn.Dense(dtype): operands cast to the compute dtype.
+        qkv = jnp.dot(
+            x.reshape(b * h * w, c).astype(self.dtype),
+            w_qkv.astype(self.dtype),
+        )
+        if b_qkv is not None:
+            qkv = qkv + b_qkv.astype(self.dtype)
         qkv = qkv.reshape(b, h * w, 3, nh, hd)
 
         # flash kernel with the decomposed rel-pos bias folded in — both the

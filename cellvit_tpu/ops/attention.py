@@ -851,3 +851,243 @@ def flash_attention_relpos(
         q_aug, k_aug, v, block_q=bq, block_k=bq, scale=1.0,
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused per-window qkv + rel-pos attention (SAM windowed blocks)
+# ---------------------------------------------------------------------------
+
+
+def _win_qkv_kernel(x_ref, w_ref, b_ref, rht_ref, rwt_ref, o_ref,
+                    *, hd: int, side: int, scale: float):
+    """One window's LN'd tokens → per-head qkv projection → decomposed
+    rel-pos attention, entirely in VMEM.
+
+    The separate-ops SAM windowed path pays, per block, an HBM round trip
+    for EACH of: the qkv projection output (3C wide), the head-major qkv
+    transpose, the Bh/Bw bias einsum outputs, the lane-augmented q'/k'
+    concats, and the attention kernel staging. Here the per-head qkv
+    matmul runs inside the program (weights resident in VMEM across the
+    window loop), so q/k/v/bias/logits never exist in HBM at all —
+    `image_encoder.py:208-270` semantics (qkv on the zero-padded window
+    grid, bias from the UNSCALED q), exact.
+
+    Per head h (static unroll):
+      qkv_h = x @ W_h + b_h                              (fp32 accumulation)
+      logits = (q·scale·log2e) @ kᵀ                       (base-2 softmax)
+      Ph = (q·log2e) @ RHᵀ   →  Ph[t, i·side+i'] = q_t·rh[i, i']·log2e
+      Bh[t, i'] = Ph[t, qi(t)·side + i']   (row-mask select, VPU)
+      bias[t, k'] = Bh[t, k'//side] + Bw[t, k'%side]      (one-hot expand
+      matmuls — MXU, K=side)
+      o_h = softmax2(logits + bias) @ v
+
+    Head outputs concatenate along lanes → (N, HG·hd), the token-major
+    layout the proj matmul consumes."""
+    x = x_ref[0]  # (N, C) storage dtype
+    n = x.shape[0]
+    hg = w_ref.shape[0]
+    dt = x.dtype
+    f32 = jnp.float32
+
+    # expansion one-hots: EH[i', k'] = 1{k'//side == i'}; EW[j', k'] = 1{k'%side == j'}
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (side, n), 1)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (side, n), 0)
+    eh = (kcol // side == srow).astype(dt)
+    ew = (kcol % side == srow).astype(dt)
+    ti = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    qi = ti // side  # (N, 1) query grid row
+    qj = ti - qi * side  # query grid col
+
+    outs = []
+    for h in range(hg):  # static unroll over the head group
+        qkv = jnp.dot(x, w_ref[h], preferred_element_type=f32) + b_ref[h]
+        q = qkv[:, :hd]  # (N, hd) fp32
+        k = qkv[:, hd : 2 * hd].astype(dt)
+        v = qkv[:, 2 * hd :].astype(dt)
+        qs = (q * (scale * LOG2E)).astype(dt)
+        q2 = (q * LOG2E).astype(dt)  # bias uses the UNSCALED q
+        logits = jnp.dot(qs, k.T, preferred_element_type=f32)
+        ph = jnp.dot(q2, rht_ref[...], preferred_element_type=f32)  # (N, N)
+        pw = jnp.dot(q2, rwt_ref[...], preferred_element_type=f32)
+        bh = jnp.zeros((n, side), f32)
+        bw = jnp.zeros((n, side), f32)
+        for i in range(side):  # static row/col-mask selection
+            bh += ph[:, i * side : (i + 1) * side] * (qi == i).astype(f32)
+            bw += pw[:, i * side : (i + 1) * side] * (qj == i).astype(f32)
+        bias = jnp.dot(bh.astype(dt), eh, preferred_element_type=f32)
+        bias += jnp.dot(bw.astype(dt), ew, preferred_element_type=f32)
+        logits = logits + bias
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp2((logits - m).astype(dt))
+        l = jnp.sum(p, axis=-1, keepdims=True, dtype=f32)
+        o = jnp.dot(p.astype(dt), v, preferred_element_type=f32)
+        outs.append((o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _win_qkv_layouts(w, b, rel_pos_h, rel_pos_w, num_heads, dtype):
+    """Head-major weight/bias/table layouts the kernel consumes.
+
+    w: (C, 3C) qkv kernel → (nh, C, 3·hd) with per-head [q|k|v] columns;
+    b: (3C,) or None → (nh, 1, 3·hd) fp32; rel tables (side, side, hd)
+    (from `gather_rel_pos`) → (hd, side²) transposed matmul operands."""
+    c = w.shape[0]
+    hd = c // num_heads
+    w_heads = (
+        w.reshape(c, 3, num_heads, hd)
+        .transpose(2, 0, 1, 3)
+        .reshape(num_heads, c, 3 * hd)
+        .astype(dtype)
+    )
+    if b is None:
+        b_heads = jnp.zeros((num_heads, 1, 3 * hd), jnp.float32)
+    else:
+        b_heads = (
+            b.reshape(3, num_heads, hd)
+            .transpose(1, 0, 2)
+            .reshape(num_heads, 1, 3 * hd)
+            .astype(jnp.float32)
+        )
+    side = rel_pos_h.shape[0]
+    rht = rel_pos_h.reshape(side * side, hd).T.astype(dtype)
+    rwt = rel_pos_w.reshape(side * side, hd).T.astype(dtype)
+    return w_heads, b_heads, rht, rwt
+
+
+def _win_qkv_ref(x, w, b, rel_pos_h, rel_pos_w, num_heads):
+    """Pure-JAX fp32 oracle of the fused window block (same math, no
+    base-2 folding): backward recompute + CPU/parity reference."""
+    nw, n, c = x.shape
+    hd = c // num_heads
+    side = rel_pos_h.shape[0]
+    scale = hd**-0.5
+    xf = x.astype(jnp.float32)
+    qkv = jnp.einsum("wnc,cd->wnd", xf, w.astype(jnp.float32))
+    if b is not None:
+        qkv = qkv + b.astype(jnp.float32)
+    qkv = qkv.reshape(nw, n, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (NW, N, H, hd)
+    logits = jnp.einsum("wqhd,wkhd->whqk", q * scale, k)
+    rq = q.reshape(nw, side, side, num_heads, hd)
+    bh = jnp.einsum("wijnd,ikd->wnijk", rq, rel_pos_h.astype(jnp.float32))
+    bw = jnp.einsum("wijnd,jld->wnijl", rq, rel_pos_w.astype(jnp.float32))
+    bias = (bh[..., :, None] + bw[..., None, :]).reshape(
+        nw, num_heads, n, n
+    )
+    p = jax.nn.softmax(logits + bias, axis=-1)
+    out = jnp.einsum("whqk,wkhd->wqhd", p, v)
+    return out.reshape(nw, n, c).astype(x.dtype)
+
+
+def _pick_head_group(num_heads: int, hd: int, c: int) -> int:
+    """Largest head group whose output-lane offset stays 128-aligned and
+    whose weight block stays ≲5 MB (VMEM double-buffer headroom)."""
+    best = num_heads
+    for hg in range(num_heads, 0, -1):
+        if num_heads % hg:
+            continue
+        aligned = hg == num_heads or (hg * hd) % 128 == 0
+        small = hg * c * 3 * hd * 2 <= 5 * 1024 * 1024
+        if aligned and small:
+            return hg
+        if aligned:
+            best = hg
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _win_qkv_core(x, w, b, rel_pos_h, rel_pos_w, num_heads,
+                  head_group, interpret):
+    return _win_qkv_fwd_only(x, w, b, rel_pos_h, rel_pos_w,
+                             num_heads, head_group, interpret)
+
+
+def _win_qkv_fwd_only(x, w, b, rel_pos_h, rel_pos_w, num_heads,
+                      head_group, interpret):
+    nw, n, c = x.shape
+    hd = c // num_heads
+    side = rel_pos_h.shape[0]
+    assert side * side == n
+    scale = hd**-0.5
+    w_heads, b_heads, rht, rwt = _win_qkv_layouts(
+        w, b, rel_pos_h, rel_pos_w, num_heads, x.dtype,
+    )
+    hg = head_group or _pick_head_group(num_heads, hd, c)
+    n_groups = num_heads // hg
+    out = pl.pallas_call(
+        functools.partial(_win_qkv_kernel, hd=hd, side=side, scale=scale),
+        # head groups OUTER so the weight block stays resident across the
+        # window sweep (the inner dim revisits the same W/b/table blocks)
+        grid=(n_groups, nw),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda g, wi: (wi, 0, 0)),
+            pl.BlockSpec((hg, c, 3 * hd), lambda g, wi: (g, 0, 0)),
+            pl.BlockSpec((hg, 1, 3 * hd), lambda g, wi: (g, 0, 0)),
+            pl.BlockSpec((hd, n), lambda g, wi: (0, 0)),
+            pl.BlockSpec((hd, n), lambda g, wi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, hg * hd), lambda g, wi: (wi, 0, g)),
+        out_shape=jax.ShapeDtypeStruct((nw, n, c), x.dtype),
+        interpret=interpret,
+    )(x, w_heads, b_heads, rht, rwt)
+    return out
+
+
+def _win_qkv_core_fwd(x, w, b, rel_pos_h, rel_pos_w, num_heads,
+                      head_group, interpret):
+    out = _win_qkv_fwd_only(x, w, b, rel_pos_h, rel_pos_w,
+                            num_heads, head_group, interpret)
+    return out, (x, w, b, rel_pos_h, rel_pos_w)
+
+
+def _win_qkv_core_bwd(num_heads, head_group, interpret, res, do):
+    """Backward by exact fp32 recompute in XLA: training regimes see few
+    windows (256² crops → 4/image), so materializing the (NW, H, N, N)
+    softmax only in the backward is cheap (house pattern: `_win_core_bwd`)."""
+    x, w, b, rel_pos_h, rel_pos_w = res
+    if b is None:
+        ref = lambda x_, w_, rh_, rw_: _win_qkv_ref(
+            x_, w_, None, rh_, rw_, num_heads
+        )
+        _, vjp = jax.vjp(ref, x, w, rel_pos_h, rel_pos_w)
+        dx, dw, drh, drw = vjp(do)
+        return dx, dw, None, drh, drw
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_, rh_, rw_: _win_qkv_ref(
+            x_, w_, b_, rh_, rw_, num_heads
+        ),
+        x, w, b, rel_pos_h, rel_pos_w,
+    )
+    dx, dw, db, drh, drw = vjp(do)
+    return dx, dw, db, drh, drw
+
+
+_win_qkv_core.defvjp(_win_qkv_core_fwd, _win_qkv_core_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "head_group", "interpret")
+)
+def window_qkv_attention(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    num_heads: int,
+    head_group: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused qkv projection + decomposed rel-pos window attention.
+
+    Args:
+        x: (NW, N, C) LN'd window tokens (N = side², zero-padded windows
+            included — the reference projects the pad through qkv too,
+            `image_encoder.py:128-193`).
+        w/b: the qkv Dense parameters, (C, 3C) and (3C,) (b may be None).
+        rel_pos_h/w: gathered (side, side, hd) tables.
+    Returns: (NW, N, C) attention output (head outputs lane-concatenated),
+    ready for the output projection. Differentiable in x/w/b/tables.
+    """
+    return _win_qkv_core(x, w, b, rel_pos_h, rel_pos_w, num_heads,
+                         head_group, interpret)

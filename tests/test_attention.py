@@ -1,5 +1,7 @@
 """Flash-attention kernel tests (interpret mode on CPU)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -316,3 +318,89 @@ def test_flash_relpos_head_major_layout(rng, gh, gw, d):
     for a, bb in zip(jax.grad(f2, (0, 1, 2))(q, k, v),
                      jax.grad(f1, (0, 1, 2))(q, k, v)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)
+
+
+@pytest.mark.parametrize("c,nh,side", [(128, 4, 14), (160, 2, 14), (64, 2, 4)])
+def test_window_qkv_attention_matches_oracle(rng, c, nh, side):
+    """Fused per-window qkv+rel-pos attention kernel (the SAM windowed
+    fast path: projection, bias and softmax·V in one VMEM program) vs the
+    pure-JAX oracle — forward and every gradient (x, W, b, tables)."""
+    from cellvit_tpu.ops.attention import _win_qkv_ref, window_qkv_attention
+
+    n = side * side
+    nw, hd = 5, c // nh
+    x = jnp.asarray(rng.standard_normal((nw, n, c)) * 0.4, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c, 3 * c)) * c**-0.5, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(3 * c) * 0.1, jnp.float32)
+    rh = jnp.asarray(rng.standard_normal((side, side, hd)) * 0.2, jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((side, side, hd)) * 0.2, jnp.float32)
+
+    ref = _win_qkv_ref(x, w, b, rh, rw, nh)
+    out = window_qkv_attention(x, w, b, rh, rw, nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # bf16 storage (the production dtype) stays within quantization noise
+    outb = window_qkv_attention(
+        x.astype(jnp.bfloat16), w, b, rh, rw, nh, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(outb, np.float32), np.asarray(ref), atol=3e-2
+    )
+
+    cot = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+    f_k = lambda *a: jnp.vdot(
+        window_qkv_attention(*a, nh, interpret=True), cot
+    )
+    f_r = lambda *a: jnp.vdot(_win_qkv_ref(*a, nh), cot)
+    gk = jax.grad(f_k, (0, 1, 2, 3, 4))(x, w, b, rh, rw)
+    gr = jax.grad(f_r, (0, 1, 2, 3, 4))(x, w, b, rh, rw)
+    for a, bb in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=5e-5)
+
+
+def test_window_qkv_attention_no_bias(rng):
+    """qkv_bias=False path (b=None) — forward parity and a null bias
+    cotangent."""
+    from cellvit_tpu.ops.attention import _win_qkv_ref, window_qkv_attention
+
+    c, nh, side = 96, 3, 7
+    n, hd = side * side, 96 // 3
+    x = jnp.asarray(rng.standard_normal((2, n, c)) * 0.4, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c, 3 * c)) * c**-0.5, jnp.float32)
+    rh = jnp.asarray(rng.standard_normal((side, side, hd)) * 0.2, jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((side, side, hd)) * 0.2, jnp.float32)
+    ref = _win_qkv_ref(x, w, None, rh, rw, nh)
+    out = window_qkv_attention(x, w, None, rh, rw, nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    g = jax.grad(
+        lambda w_: jnp.sum(
+            window_qkv_attention(x, w_, None, rh, rw, nh, interpret=True)
+        )
+    )(w)
+    gr = jax.grad(lambda w_: jnp.sum(_win_qkv_ref(x, w_, None, rh, rw, nh)))(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=5e-5)
+
+
+def test_sam_attention_fused_flag_matches_einsum(rng):
+    """SamAttention(fused_window=True, interpret) == the einsum branch —
+    the module-level wiring (param extraction, reshape, proj) is what the
+    kernel test above cannot see."""
+    from unittest import mock
+
+    from cellvit_tpu.models import sam_vit
+    from cellvit_tpu.ops import attention as attn_ops
+
+    b, side, c, nh = 2, 14, 128, 4
+    x = jnp.asarray(
+        rng.standard_normal((b, side, side, c)) * 0.3, jnp.float32
+    )
+    mod = sam_vit.SamAttention(c, nh, rel_pos_dim=side, dtype=jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    base = mod.apply(v, x)  # CPU → einsum branch
+    fused_mod = sam_vit.SamAttention(
+        c, nh, rel_pos_dim=side, dtype=jnp.float32, fused_window=True
+    )
+    interp = functools.partial(attn_ops.window_qkv_attention, interpret=True)
+    with mock.patch.object(attn_ops, "window_qkv_attention", interp):
+        fused = fused_mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=3e-5)
