@@ -56,6 +56,13 @@ def _load_library() -> ctypes.CDLL:
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int, ctypes.c_double,
         ctypes.c_double, ctypes.c_int,
     ]
+    lib.wsi_write_bif.restype = ctypes.c_int
+    lib.wsi_write_bif.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
     lib.wsi_level_compression.restype = ctypes.c_int
     lib.wsi_level_compression.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.wsi_has_jpeg2000.restype = ctypes.c_int
@@ -244,19 +251,23 @@ class PILReader:
         pass
 
 
-WSI_SUFFIXES = {".svs", ".tif", ".tiff", ".ndpi", ".scn"}
+WSI_SUFFIXES = {".svs", ".tif", ".tiff", ".ndpi", ".scn", ".bif"}
 
-#: NDPI (Hamamatsu) and SCN (Leica) are parsed natively: NDPI via a custom
-#: TIFF-like parser (SourceLens pyramid, >4 GiB wrapped-offset
-#: reconstruction, libjpeg strip decode), SCN via libtiff (BigTIFF) with
-#: the collection XML selecting the main image's directories. Fixture
+#: NDPI (Hamamatsu), SCN (Leica) and BIF (Ventana) are parsed natively:
+#: NDPI via a custom TIFF-like parser (SourceLens pyramid, >4 GiB
+#: wrapped-offset reconstruction, libjpeg strip decode), SCN via libtiff
+#: (BigTIFF) with the collection XML selecting the main image's
+#: directories, BIF via libtiff (BigTIFF) with the dir-0 XMP iScan
+#: metadata and AOI overlap-join stitching (uniform joins; non-uniform
+#: layouts are refused, as in OpenSlide's ventana driver). Fixture
 #: round-trip tests: tests/test_wsi_formats.py.
 
-#: Reference WSI_EXT formats (configs/python/config.py:10-19) that are NOT
-#: TIFF containers — they need OpenSlide's vendor drivers, which the native
-#: libtiff reader cannot provide. Rejected with a clear message rather than
-#: a confusing parse failure.
-UNSUPPORTED_SUFFIXES = {".bif", ".vms", ".vmu"}
+#: Reference WSI_EXT formats (configs/python/config.py:10-19) that are
+#: genuinely MULTI-FILE containers (Hamamatsu .vms/.vmu: an index file
+#: plus side-car .jpg/.raw tiles) — they need OpenSlide's vendor drivers,
+#: which the native libtiff reader cannot provide. Rejected with a clear
+#: message rather than a confusing parse failure.
+UNSUPPORTED_SUFFIXES = {".vms", ".vmu"}
 
 
 def open_slide(path: str):
@@ -294,6 +305,36 @@ def write_test_pyramid(
     )
     if rc != 0:
         raise IOError(f"wsi_write_pyramid failed rc={rc}")
+
+
+def write_test_bif(
+    path: str, rgb: np.ndarray, tile_size: int = 64, n_levels: int = 2,
+    mpp: float = 0.25, magnification: float = 40.0,
+    ncols: int = 2, nrows: int = 2, overlap_x: int = 16, overlap_y: int = 16,
+    nonuniform_join: bool = False,
+) -> None:
+    """Write a synthetic Ventana-style BIF (test fixture support).
+
+    ``rgb`` is the PRESENTED (seamless) level-0 image; the writer emits an
+    ``ncols×nrows`` AOI mosaic per level whose adjacent AOIs duplicate
+    ``overlap_x/y`` pixels, with the stitch geometry in the dir-0 XMP
+    packet (``iScan`` + ``SlideStitchInfo`` + ``JoinInfo``) and a stripped
+    Thumbnail directory the reader must skip. ``nonuniform_join`` writes a
+    JoinInfo that disagrees with the uniform overlap — the reader must
+    refuse such files (OpenSlide ventana-driver semantics). Reference
+    behavior target: OpenSlide's .bif support used at
+    patch_extraction.py:591 via WSI_EXT (configs/python/config.py:10-19).
+    """
+    lib = _load_library()
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    rc = lib.wsi_write_bif(
+        str(path).encode(),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rgb.shape[1], rgb.shape[0], tile_size, n_levels, mpp, magnification,
+        ncols, nrows, overlap_x, overlap_y, int(nonuniform_join),
+    )
+    if rc != 0:
+        raise IOError(f"wsi_write_bif failed rc={rc}")
 
 
 def write_test_ndpi(

@@ -24,6 +24,7 @@
 
 #include <algorithm>
 #include <array>
+#include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
@@ -42,16 +43,27 @@ constexpr uint16_t kAperioJ2kRGB = 33005;
 
 struct Level {
   uint16_t directory;
-  uint32_t width;
+  uint32_t width;   // raw TIFF directory extent
   uint32_t height;
   bool tiled;
 };
 
 struct NdpiFile;  // Hamamatsu NDPI custom parser (below)
 
+// Ventana BIF AOI-mosaic geometry (see bif_parse below). Levels are raw
+// TIFF mosaics of uniform AOIs whose adjacent copies duplicate `ov` pixels;
+// the presented (seamless) extent per level is raw − (n−1)·ov per axis.
+struct BifInfo {
+  int ncols = 1, nrows = 1;
+  std::vector<std::array<int64_t, 2>> pres;  // presented (w, h) per level
+  std::vector<std::array<int64_t, 2>> ov;    // overlap (ox, oy), level px
+  std::vector<std::array<int64_t, 2>> aoi;   // AOI (w, h), raw level px
+};
+
 struct WsiHandle {
   TIFF* tif = nullptr;
   NdpiFile* ndpi = nullptr;
+  BifInfo* bif = nullptr;
   std::vector<Level> levels;
   double mpp = 0.0;
   double magnification = 0.0;
@@ -731,6 +743,134 @@ bool scn_parse(WsiHandle* h, const std::string& xml) {
   return true;
 }
 
+// ===== Ventana BIF =========================================================
+// BIF is a SINGLE-FILE BigTIFF (not a multi-file container): tiled-JPEG
+// pyramid directories that libtiff decodes natively, plus vendor metadata
+// in the dir-0 XMP packet (TIFF tag 700). The reference reads these through
+// OpenSlide's ventana driver (patch_extraction.py:591; WSI_EXT lists .bif
+// at configs/python/config.py:10-19). Semantics modeled on that driver:
+//
+//   * detection: dir-0 XMP contains an <iScan> element; its Magnification
+//     and ScanRes attributes give objective power and µm/px;
+//   * pyramid: directories whose ImageDescription carries "level=N"
+//     (thumbnail / "Label Image" / probability dirs carry none and are
+//     skipped);
+//   * level 0 is a mosaic of uniform AOIs (areas of interest) scanned
+//     separately: adjacent AOIs duplicate an overlap band that the reader
+//     must subtract for a seamless image. The stitch geometry lives in the
+//     XMP: <SlideStitchInfo><ImageInfo NumCols NumRows OverlapX OverlapY/>
+//     with per-join <JoinInfo Direction="Left|Up" Overlap="…"/> elements
+//     that must agree with the uniform values (OpenSlide likewise refuses
+//     non-uniform AOI spacing). Presented level extent = raw −
+//     (N−1)·overlap per axis; read_region assembles presented-coordinate
+//     requests from per-AOI raw sub-rects.
+//
+// Files with iScan metadata but no stitch info (single-AOI exports) read
+// as plain pyramids. Fixture round-trip: tests/test_wsi_formats.py.
+
+bool xml_attr_str(const std::string& s, size_t tagpos, const char* attr,
+                  std::string* out) {
+  size_t end = s.find('>', tagpos);
+  if (end == std::string::npos) return false;
+  std::string pat = std::string(attr) + "=\"";
+  size_t p = s.find(pat, tagpos);
+  if (p == std::string::npos || p > end) return false;
+  p += pat.size();
+  size_t q = s.find('"', p);
+  if (q == std::string::npos || q > end) return false;
+  *out = s.substr(p, q - p);
+  return true;
+}
+
+// 0 = ok, 1 = not a BIF (no iScan), 2 = unsupported stitch layout
+int bif_parse(WsiHandle* h, const std::string& xml) {
+  size_t iscan = xml_find_tag(xml, "iScan", 0, xml.size());
+  if (iscan == std::string::npos) return 1;
+  double mag = 0, res = 0;
+  xml_attr_num(xml, iscan, "Magnification", &mag);
+  xml_attr_num(xml, iscan, "ScanRes", &res);
+  h->magnification = mag;
+  h->mpp = res;  // ScanRes is µm/px at level 0
+
+  int ncols = 1, nrows = 1;
+  double ox0 = 0, oy0 = 0;
+  size_t stitch = xml_find_tag(xml, "SlideStitchInfo", 0, xml.size());
+  if (stitch != std::string::npos) {
+    size_t info = xml_find_tag(xml, "ImageInfo", stitch, xml.size());
+    if (info != std::string::npos) {
+      double nc = 1, nr = 1;
+      xml_attr_num(xml, info, "NumCols", &nc);
+      xml_attr_num(xml, info, "NumRows", &nr);
+      xml_attr_num(xml, info, "OverlapX", &ox0);
+      xml_attr_num(xml, info, "OverlapY", &oy0);
+      ncols = int(nc) > 0 ? int(nc) : 1;
+      nrows = int(nr) > 0 ? int(nr) : 1;
+    }
+    // joins must agree with the uniform overlaps — refuse files that
+    // need per-join offsets (matches OpenSlide's ventana driver, which
+    // errors on non-uniform tile spacing)
+    size_t pos = stitch;
+    while (true) {
+      size_t jp = xml_find_tag(xml, "JoinInfo", pos, xml.size());
+      if (jp == std::string::npos) break;
+      pos = jp + 1;
+      std::string dir;
+      double ov = -1;
+      if (!xml_attr_str(xml, jp, "Direction", &dir)) continue;
+      if (!xml_attr_num(xml, jp, "Overlap", &ov)) continue;
+      if ((dir == "Left" && ov != ox0) || (dir == "Up" && ov != oy0))
+        return 2;
+    }
+  }
+
+  // pyramid levels: tiled dirs described "level=N"
+  struct Raw { uint16_t dir; uint32_t w, h; };
+  std::vector<Raw> raws;
+  uint16_t dir = 0;
+  TIFFSetDirectory(h->tif, 0);
+  do {
+    char* desc = nullptr;
+    uint32_t w = 0, ht = 0;
+    TIFFGetField(h->tif, TIFFTAG_IMAGEWIDTH, &w);
+    TIFFGetField(h->tif, TIFFTAG_IMAGELENGTH, &ht);
+    if (w && ht && TIFFIsTiled(h->tif) &&
+        TIFFGetField(h->tif, TIFFTAG_IMAGEDESCRIPTION, &desc) && desc &&
+        strstr(desc, "level=")) {
+      raws.push_back({dir, w, ht});
+    }
+    dir++;
+  } while (TIFFReadDirectory(h->tif));
+  if (raws.empty()) return 2;
+  std::sort(raws.begin(), raws.end(),
+            [](const Raw& a, const Raw& b) { return a.w > b.w; });
+  if (raws[0].w % uint32_t(ncols) != 0 || raws[0].h % uint32_t(nrows) != 0)
+    return 2;  // AOIs must tile level 0 uniformly
+
+  auto* bi = new BifInfo();
+  bi->ncols = ncols;
+  bi->nrows = nrows;
+  for (const Raw& r : raws) {
+    if (r.w % uint32_t(ncols) != 0 || r.h % uint32_t(nrows) != 0) {
+      delete bi;
+      return 2;
+    }
+    double dsx = double(raws[0].w) / r.w, dsy = double(raws[0].h) / r.h;
+    int64_t ox = llround(ox0 / dsx), oy = llround(oy0 / dsy);
+    int64_t aw = r.w / ncols, ah = r.h / nrows;
+    if (ox >= aw || oy >= ah) {
+      delete bi;
+      return 2;
+    }
+    h->levels.push_back({r.dir, r.w, r.h, true});
+    bi->aoi.push_back({aw, ah});
+    bi->ov.push_back({ox, oy});
+    bi->pres.push_back({int64_t(r.w) - (ncols - 1) * ox,
+                        int64_t(r.h) - (nrows - 1) * oy});
+  }
+  h->bif = bi;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -761,6 +901,27 @@ WsiHandle* wsi_open(const char* path) {
   if (!tif) return nullptr;
   auto* h = new WsiHandle();
   h->tif = tif;
+
+  // Ventana BIF: BigTIFF whose dir-0 XMP packet (tag 700) holds the iScan
+  // metadata and the AOI stitch geometry. Unsupported stitch layouts
+  // (non-uniform joins) fail the open — an explicit error beats silently
+  // mis-stitched tiles.
+  {
+    uint32_t xmp_len = 0;
+    void* xmp_data = nullptr;
+    if (TIFFGetField(tif, TIFFTAG_XMLPACKET, &xmp_len, &xmp_data) &&
+        xmp_data && xmp_len > 0) {
+      std::string xml(static_cast<const char*>(xmp_data), xmp_len);
+      if (xml.find("<iScan") != std::string::npos) {
+        int rc = bif_parse(h, xml);
+        if (rc == 0) return h;
+        TIFFClose(tif);
+        delete h;  // bif_parse owns (and freed) its BifInfo on failure
+        return nullptr;
+      }
+      TIFFSetDirectory(tif, 0);
+    }
+  }
 
   // Leica SCN: BigTIFF whose dir-0 ImageDescription is the collection XML;
   // the level table comes from the XML, not the aspect heuristic.
@@ -835,6 +996,7 @@ void wsi_close(WsiHandle* h) {
   if (!h) return;
   if (h->tif) TIFFClose(h->tif);
   if (h->ndpi) ndpi_close(h->ndpi);
+  delete h->bif;
   delete h;
 }
 
@@ -844,6 +1006,11 @@ void wsi_level_size(WsiHandle* h, int level, uint32_t* w, uint32_t* ht) {
   *w = 0;
   *ht = 0;
   if (!h || level < 0 || level >= int(h->levels.size())) return;
+  if (h->bif) {  // presented (seamless) extent, not the raw AOI mosaic
+    *w = uint32_t(h->bif->pres[level][0]);
+    *ht = uint32_t(h->bif->pres[level][1]);
+    return;
+  }
   *w = h->levels[level].width;
   *ht = h->levels[level].height;
 }
@@ -866,23 +1033,19 @@ int wsi_level_compression(WsiHandle* h, int level) {
 // 1 when libopenjp2 is loadable (Aperio 33003/33005 slides decodable).
 int wsi_has_jpeg2000(void) { return opj_api() != nullptr ? 1 : 0; }
 
-// Read an RGB region (row-major, 3 bytes/px) from `level` at level
-// coordinates (x, y). Out-of-bounds areas are filled white (255), matching
-// pathology-background conventions. Returns 0 on success.
-int wsi_read_region(WsiHandle* h, int level, int64_t x0, int64_t y0,
-                    uint32_t out_w, uint32_t out_h, uint8_t* out) {
-  if (!h || level < 0 || level >= int(h->levels.size())) return 1;
-  if (h->ndpi) return ndpi_read_region(h->ndpi, level, x0, y0, out_w, out_h, out);
-  const Level& lv = h->levels[level];
-  if (!TIFFSetDirectory(h->tif, lv.directory)) return 2;
-  memset(out, 255, size_t(out_w) * out_h * 3);
-
+// Tiled-level region read core (raw TIFF coordinates of `lv`). Writes RGB
+// rows into `out` with a row stride of `stride_px` pixels — wsi_read_region
+// passes stride == out_w; the Ventana BIF path composes several AOI
+// sub-rects into one output buffer. Caller has set the TIFF directory and
+// background-filled `out`.
+int read_tiled_region(WsiHandle* h, const Level& lv, int64_t x0, int64_t y0,
+                      uint32_t out_w, uint32_t out_h, uint8_t* out,
+                      size_t stride_px) {
   uint16_t comp = COMPRESSION_NONE;
   TIFFGetFieldDefaulted(h->tif, TIFFTAG_COMPRESSION, &comp);
   bool aperio_j2k = (comp == kAperioJ2kYCbCr || comp == kAperioJ2kRGB);
   if (!aperio_j2k && !TIFFIsCODECConfigured(comp)) return 7;
-
-  if (lv.tiled) {
+  {
     uint32_t tw = 0, th = 0;
     TIFFGetField(h->tif, TIFFTAG_TILEWIDTH, &tw);
     TIFFGetField(h->tif, TIFFTAG_TILELENGTH, &th);
@@ -931,7 +1094,7 @@ int wsi_read_region(WsiHandle* h, int level, int64_t x0, int64_t y0,
           for (int64_t yy = cy0; yy < cy1 && yy - ty < int64_t(jh); yy++) {
             const uint8_t* src =
                 jrgb.data() + (size_t(yy - ty) * jw + (cx0 - tx)) * 3;
-            uint8_t* dst = out + (size_t(yy - y0) * out_w + (cx0 - x0)) * 3;
+            uint8_t* dst = out + (size_t(yy - y0) * stride_px + (cx0 - x0)) * 3;
             int64_t n = std::min(cx1, tx + int64_t(jw)) - cx0;
             if (n > 0) memcpy(dst, src, size_t(n) * 3);
           }
@@ -942,7 +1105,7 @@ int wsi_read_region(WsiHandle* h, int level, int64_t x0, int64_t y0,
           // order is bottom-up: raster row = th - 1 - (yy - ty)
           const uint32_t* src =
               tile.data() + size_t(th - 1 - (yy - ty)) * tw + (cx0 - tx);
-          uint8_t* dst = out + (size_t(yy - y0) * out_w + (cx0 - x0)) * 3;
+          uint8_t* dst = out + (size_t(yy - y0) * stride_px + (cx0 - x0)) * 3;
           for (int64_t xx = cx0; xx < cx1; xx++, src++, dst += 3) {
             uint32_t px = *src;
             dst[0] = TIFFGetR(px);
@@ -954,6 +1117,78 @@ int wsi_read_region(WsiHandle* h, int level, int64_t x0, int64_t y0,
     }
     return 0;
   }
+}
+
+// Read an RGB region (row-major, 3 bytes/px) from `level` at level
+// coordinates (x, y). Out-of-bounds areas are filled white (255), matching
+// pathology-background conventions. Returns 0 on success.
+//
+// Ventana BIF levels are AOI mosaics: the request is in PRESENTED
+// (seamless) coordinates; each AOI column/row past the first starts
+// `ov` pixels into its raw copy (those pixels duplicate the previous
+// AOI's trailing band), so the region is assembled from ≤ ncols×nrows
+// raw sub-rects with raw = presented + index·ov per axis.
+int wsi_read_region(WsiHandle* h, int level, int64_t x0, int64_t y0,
+                    uint32_t out_w, uint32_t out_h, uint8_t* out) {
+  if (!h || level < 0 || level >= int(h->levels.size())) return 1;
+  if (h->ndpi) return ndpi_read_region(h->ndpi, level, x0, y0, out_w, out_h, out);
+  const Level& lv = h->levels[level];
+  if (!TIFFSetDirectory(h->tif, lv.directory)) return 2;
+  memset(out, 255, size_t(out_w) * out_h * 3);
+
+  if (h->bif) {
+    if (!lv.tiled) return 3;
+    const BifInfo& bi = *h->bif;
+    const int64_t aw = bi.aoi[level][0], ah = bi.aoi[level][1];
+    const int64_t ox = bi.ov[level][0], oy = bi.ov[level][1];
+    const int64_t pw = bi.pres[level][0], ph = bi.pres[level][1];
+    // presented span of AOI col c: [0, aw) for c = 0,
+    // [aw + (c−1)(aw−ox), …+(aw−ox)) after — col index of presented x is
+    // clamp((x − ox) / (aw − ox), 0, ncols−1)
+    auto col_of = [](int64_t x, int64_t a, int64_t o, int nmax) {
+      if (x < a || a <= o) return int64_t(0);
+      int64_t c = (x - o) / (a - o);
+      return c >= nmax ? int64_t(nmax - 1) : c;
+    };
+    auto span = [](int64_t c, int64_t a, int64_t o, int64_t total,
+                   int nmax) -> std::array<int64_t, 2> {
+      int64_t lo = c == 0 ? 0 : a + (c - 1) * (a - o);
+      int64_t hi = c + 1 >= nmax ? total : lo + (c == 0 ? a : a - o);
+      return {lo, hi};
+    };
+    int64_t rx0 = std::max<int64_t>(x0, 0), ry0 = std::max<int64_t>(y0, 0);
+    int64_t rx1 = std::min<int64_t>(x0 + out_w, pw);
+    int64_t ry1 = std::min<int64_t>(y0 + out_h, ph);
+    if (rx0 >= rx1 || ry0 >= ry1) return 0;  // fully out of bounds → white
+    int64_t c0 = col_of(rx0, aw, ox, bi.ncols);
+    int64_t c1 = col_of(rx1 - 1, aw, ox, bi.ncols);
+    int64_t r0 = col_of(ry0, ah, oy, bi.nrows);
+    int64_t r1 = col_of(ry1 - 1, ah, oy, bi.nrows);
+    for (int64_t r = r0; r <= r1; r++) {
+      auto ys = span(r, ah, oy, ph, bi.nrows);
+      int64_t sy0 = std::max(ry0, ys[0]), sy1 = std::min(ry1, ys[1]);
+      if (sy0 >= sy1) continue;
+      for (int64_t c = c0; c <= c1; c++) {
+        auto xs = span(c, aw, ox, pw, bi.ncols);
+        int64_t sx0 = std::max(rx0, xs[0]), sx1 = std::min(rx1, xs[1]);
+        if (sx0 >= sx1) continue;
+        uint8_t* dst = out + (size_t(sy0 - y0) * out_w + (sx0 - x0)) * 3;
+        int rc = read_tiled_region(h, lv, sx0 + c * ox, sy0 + r * oy,
+                                   uint32_t(sx1 - sx0), uint32_t(sy1 - sy0),
+                                   dst, out_w);
+        if (rc != 0) return rc;
+      }
+    }
+    return 0;
+  }
+
+  if (lv.tiled)
+    return read_tiled_region(h, lv, x0, y0, out_w, out_h, out, out_w);
+
+  uint16_t comp = COMPRESSION_NONE;
+  TIFFGetFieldDefaulted(h->tif, TIFFTAG_COMPRESSION, &comp);
+  bool aperio_j2k = (comp == kAperioJ2kYCbCr || comp == kAperioJ2kRGB);
+  if (!aperio_j2k && !TIFFIsCODECConfigured(comp)) return 7;
 
   // stripped level: read whole level once into the handle cache (bounded to
   // 512 MPix) and serve crops from it
@@ -982,6 +1217,135 @@ int wsi_read_region(WsiHandle* h, int level, int64_t x0, int64_t y0,
       dst[2] = TIFFGetB(px);
     }
   }
+  return 0;
+}
+
+// Test-fixture helper: write a Ventana-style BIF (single-file BigTIFF) —
+// `rgb` is the PRESENTED (seamless) level-0 image; each level is written
+// as an ncols×nrows AOI mosaic whose adjacent AOIs duplicate overlap_x/y
+// pixels, with the stitch geometry in the dir-0 XMP packet (iScan +
+// SlideStitchInfo + JoinInfo). A stripped "Thumbnail" directory without a
+// "level=" description is interleaved — the reader must skip it. With
+// nonuniform_join, one JoinInfo disagrees with the uniform overlap: the
+// reader must refuse the file (OpenSlide ventana-driver semantics).
+// Requires (w + (ncols−1)·overlap_x) % ncols == 0 (uniform AOIs), same
+// for rows; presented extents and overlaps must stay divisible by 2 for
+// every written level.
+int wsi_write_bif(const char* path, const uint8_t* rgb, uint32_t w,
+                  uint32_t h, uint32_t tile_size, int n_levels, double mpp,
+                  double mag, int ncols, int nrows, int overlap_x,
+                  int overlap_y, int nonuniform_join) {
+  uint32_t raw_w0 = w + uint32_t(ncols - 1) * overlap_x;
+  uint32_t raw_h0 = h + uint32_t(nrows - 1) * overlap_y;
+  if (raw_w0 % uint32_t(ncols) != 0 || raw_h0 % uint32_t(nrows) != 0)
+    return 4;
+  TIFF* tif = TIFFOpen(path, "w8");  // w8 = BigTIFF
+  if (!tif) return 1;
+  char xmp[1024];
+  snprintf(xmp, sizeof(xmp),
+           "<?xpacket begin=\"\"?><x:xmpmeta><iScan Magnification=\"%g\" "
+           "ScanRes=\"%g\" UnitNumber=\"FAKE-1\"/><EncodeInfo>"
+           "<SlideStitchInfo><ImageInfo AoiCount=\"%d\" NumCols=\"%d\" "
+           "NumRows=\"%d\" OverlapX=\"%d\" OverlapY=\"%d\"/>"
+           "<JoinInfo Direction=\"Left\" Overlap=\"%d\" Confidence=\"98\"/>"
+           "<JoinInfo Direction=\"Up\" Overlap=\"%d\" Confidence=\"97\"/>"
+           "</SlideStitchInfo></EncodeInfo></x:xmpmeta><?xpacket end=\"w\"?>",
+           mag, mpp, ncols * nrows, ncols, nrows, overlap_x, overlap_y,
+           nonuniform_join ? overlap_x + 3 : overlap_x, overlap_y);
+  std::vector<uint8_t> pres(rgb, rgb + size_t(w) * h * 3);
+  uint32_t pw = w, ph = h;
+  int ox = overlap_x, oy = overlap_y;
+  for (int level = 0; level < n_levels; level++) {
+    // raw mosaic: raw col c duplicates presented [c·aw − c·ox, …)
+    uint32_t rw = pw + uint32_t(ncols - 1) * ox;
+    uint32_t rh = ph + uint32_t(nrows - 1) * oy;
+    uint32_t aw = rw / ncols, ah = rh / nrows;
+    std::vector<uint8_t> raw(size_t(rw) * rh * 3);
+    for (uint32_t yy = 0; yy < rh; yy++) {
+      uint32_t py = yy - (yy / ah) * oy;
+      for (uint32_t xx = 0; xx < rw; xx++) {
+        uint32_t px = xx - (xx / aw) * ox;
+        memcpy(raw.data() + (size_t(yy) * rw + xx) * 3,
+               pres.data() + (size_t(py) * pw + px) * 3, 3);
+      }
+    }
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, rw);
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, rh);
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+    TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+    TIFFSetField(tif, TIFFTAG_TILEWIDTH, tile_size);
+    TIFFSetField(tif, TIFFTAG_TILELENGTH, tile_size);
+    char desc[64];
+    snprintf(desc, sizeof(desc), "level=%d mag=%g quality=90", level,
+             mag / double(1 << level));
+    TIFFSetField(tif, TIFFTAG_IMAGEDESCRIPTION, desc);
+    if (level == 0)
+      TIFFSetField(tif, TIFFTAG_XMLPACKET, uint32_t(strlen(xmp)), xmp);
+    std::vector<uint8_t> tile(size_t(tile_size) * tile_size * 3, 255);
+    for (uint32_t ty = 0; ty < rh; ty += tile_size) {
+      for (uint32_t tx = 0; tx < rw; tx += tile_size) {
+        std::fill(tile.begin(), tile.end(), 255);
+        for (uint32_t yy = ty; yy < ty + tile_size && yy < rh; yy++) {
+          memcpy(tile.data() + size_t(yy - ty) * tile_size * 3,
+                 raw.data() + (size_t(yy) * rw + tx) * 3,
+                 size_t(std::min(tile_size, rw - tx)) * 3);
+        }
+        if (TIFFWriteTile(tif, tile.data(), tx, ty, 0, 0) < 0) {
+          TIFFClose(tif);
+          return 2;
+        }
+      }
+    }
+    TIFFWriteDirectory(tif);
+    if (level == 0) {
+      // stripped Thumbnail dir (no "level=") — must not join the pyramid
+      uint32_t tw2 = pw / 4, th2 = ph / 4;
+      TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, tw2);
+      TIFFSetField(tif, TIFFTAG_IMAGELENGTH, th2);
+      TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+      TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+      TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+      TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+      TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+      TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+      TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP, 16);
+      TIFFSetField(tif, TIFFTAG_IMAGEDESCRIPTION, "Thumbnail");
+      std::vector<uint8_t> row(size_t(tw2) * 3);
+      for (uint32_t yy = 0; yy < th2; yy++) {
+        for (uint32_t xx = 0; xx < tw2; xx++)
+          memcpy(row.data() + size_t(xx) * 3,
+                 pres.data() + (size_t(4 * yy) * pw + 4 * xx) * 3, 3);
+        if (TIFFWriteScanline(tif, row.data(), yy, 0) < 0) {
+          TIFFClose(tif);
+          return 3;
+        }
+      }
+      TIFFWriteDirectory(tif);
+    }
+    if (level + 1 < n_levels) {
+      uint32_t nw = pw / 2, nh2 = ph / 2;
+      std::vector<uint8_t> next(size_t(nw) * nh2 * 3);
+      for (uint32_t yy = 0; yy < nh2; yy++)
+        for (uint32_t xx = 0; xx < nw; xx++)
+          for (int c = 0; c < 3; c++) {
+            int sum = pres[(size_t(2 * yy) * pw + 2 * xx) * 3 + c] +
+                      pres[(size_t(2 * yy) * pw + 2 * xx + 1) * 3 + c] +
+                      pres[(size_t(2 * yy + 1) * pw + 2 * xx) * 3 + c] +
+                      pres[(size_t(2 * yy + 1) * pw + 2 * xx + 1) * 3 + c];
+            next[(size_t(yy) * nw + xx) * 3 + c] = uint8_t(sum / 4);
+          }
+      pres.swap(next);
+      pw = nw;
+      ph = nh2;
+      ox /= 2;
+      oy /= 2;
+    }
+  }
+  TIFFClose(tif);
   return 0;
 }
 

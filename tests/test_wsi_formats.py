@@ -16,6 +16,7 @@ import pytest
 from cellvit_tpu.preprocessing.wsi_reader import (
     NativeWSIReader,
     open_slide,
+    write_test_bif,
     write_test_ndpi,
     write_test_scn,
 )
@@ -166,9 +167,80 @@ class TestScn:
         r.close()
 
 
+class TestBif:
+    """Ventana BIF: single-file BigTIFF, dir-0 XMP iScan metadata, AOI
+    mosaic levels with uniform overlap joins subtracted on read
+    (OpenSlide ventana-driver semantics; reference reads .bif via
+    WSI_EXT at configs/python/config.py:10-19)."""
+
+    # presented 112×88, 2×2 AOIs, overlaps (16, 8): raw mosaic 128×96,
+    # AOI 64×48; level 1 halves everything exactly
+    KW = dict(tile_size=32, n_levels=2, mpp=0.25, magnification=40.0,
+              ncols=2, nrows=2, overlap_x=16, overlap_y=8)
+
+    def test_aoi_stitch_roundtrip(self, tmp_path):
+        img = _checker(88, 112, seed=17)
+        p = tmp_path / "slide.bif"
+        write_test_bif(str(p), img, **self.KW)
+        r = open_slide(str(p))
+        assert isinstance(r, NativeWSIReader)
+        # presented (seamless) extents, not the raw AOI mosaic (128×96);
+        # the stripped Thumbnail dir must not count as a level
+        assert r.level_count == 2
+        assert r.dimensions == (112, 88)
+        assert r.level_dimensions[1] == (56, 44)
+        assert r.magnification == pytest.approx(40.0)
+        assert r.mpp == pytest.approx(0.25, rel=1e-3)
+        # full-extent read: every AOI join must be seamless
+        np.testing.assert_array_equal(
+            r.read_region((0, 0), 0, (112, 88)), img
+        )
+        # crop crossing both joins (col boundary at x=64, row at y=44)
+        np.testing.assert_array_equal(
+            r.read_region((40, 30), 0, (60, 50)), img[30:80, 40:100]
+        )
+        # level 1 parity incl. halved overlaps
+        np.testing.assert_array_equal(
+            r.read_region((0, 0), 1, (56, 44)), _downsample(img)
+        )
+        np.testing.assert_array_equal(
+            r.read_region((20, 10), 1, (24, 24)),
+            _downsample(img)[10:34, 20:44],
+        )
+        r.close()
+
+    def test_overhang_white_fill(self, tmp_path):
+        img = _checker(88, 112, seed=19)
+        p = tmp_path / "s.bif"
+        write_test_bif(str(p), img, **self.KW)
+        r = open_slide(str(p))
+        out = r.read_region((96, 72), 0, (32, 32))
+        np.testing.assert_array_equal(out[:16, :16], img[72:88, 96:112])
+        assert (out[16:] == 255).all() and (out[:, 16:] == 255).all()
+        r.close()
+
+    def test_nonuniform_joins_refused(self, tmp_path):
+        """Per-join overlaps disagreeing with the uniform stitch values
+        need per-join offsets the reader does not model — refuse the file
+        (as OpenSlide refuses non-uniform AOI spacing) instead of
+        returning mis-stitched tiles."""
+        img = _checker(88, 112, seed=23)
+        p = tmp_path / "bad.bif"
+        write_test_bif(str(p), img, nonuniform_join=True, **self.KW)
+        with pytest.raises(IOError):
+            open_slide(str(p))
+
+
 def test_unsupported_vendor_formats_rejected(tmp_path):
-    for suffix in (".bif", ".vms", ".vmu"):
+    # vms/vmu are genuinely multi-file (index + side-car tiles) — the
+    # native single-file reader rejects them with a clear message
+    for suffix in (".vms", ".vmu"):
         p = tmp_path / f"slide{suffix}"
         p.write_bytes(b"\0" * 16)
         with pytest.raises(NotImplementedError):
             open_slide(str(p))
+    # a corrupt .bif fails the open explicitly (no silent white tiles)
+    p = tmp_path / "slide.bif"
+    p.write_bytes(b"\0" * 16)
+    with pytest.raises(IOError):
+        open_slide(str(p))
