@@ -276,6 +276,7 @@ class SamBlock(nn.Module):
     window_size: int = 0  # 0 = global attention
     grid_size: int = 64  # token-grid side at pretrain resolution (img/16)
     dtype: Dtype = jnp.float32
+    fused_window: Optional[bool] = None  # see SamAttention
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -291,6 +292,7 @@ class SamBlock(nn.Module):
             use_rel_pos=self.use_rel_pos,
             rel_pos_dim=self.window_size if self.window_size > 0 else self.grid_size,
             dtype=self.dtype,
+            fused_window=self.fused_window,
             name="attn",
         )(y)
         if self.window_size > 0:
@@ -323,6 +325,7 @@ class SamViT(nn.Module):
     use_rel_pos: bool = True
     remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
     dtype: Dtype = jnp.float32
+    fused_window: Optional[bool] = None  # see SamAttention
 
     @nn.compact
     def __call__(
@@ -351,6 +354,7 @@ class SamViT(nn.Module):
                 window_size=0 if i in self.global_attn_indexes else self.window_size,
                 grid_size=grid,
                 dtype=self.dtype,
+                fused_window=self.fused_window,
                 name=f"blocks_{i}",
             )(tokens)
             if (i + 1) in extract:

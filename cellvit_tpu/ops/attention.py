@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # softmax runs base-2: fold log2(e) into the
@@ -1028,6 +1029,13 @@ def _win_qkv_fwd_only(x, w, b, rel_pos_h, rel_pos_w, num_heads,
         ],
         out_specs=pl.BlockSpec((1, n, hg * hd), lambda g, wi: (wi, 0, g)),
         out_shape=jax.ShapeDtypeStruct((nw, n, c), x.dtype),
+        # the resident weight block is 4.9 MB at SAM-H (hg=8 is the
+        # smallest 128-lane-aligned head group at hd=80); with input
+        # staging copies the scoped stack reaches ~18.2 MB inside the full
+        # model, past the 16 MB default — raise the cap for this kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024
+        ),
         interpret=interpret,
     )(x, w_heads, b_heads, rht, rwt)
     return out
