@@ -290,7 +290,17 @@ class InferenceCellViT:
         dataset_metrics = {
             "Binary-Cell-Dice-Mean": float(np.nanmean(binary_dice)),
             "Binary-Cell-Jacard-Mean": float(np.nanmean(binary_jacc)),
-            "Tissue-Multiclass-Accuracy": tissue_acc,
+            # the reference's StarDist/CPP eval scripts omit the tissue
+            # accuracy from dataset metrics (their dataset_metrics dict at
+            # inference_stardist_experiment_pannuke.py:432-445 has no
+            # Tissue-Multiclass-Accuracy; the HV script adds it at
+            # inference_cellvit_experiment_pannuke.py:458) — match each
+            # family's schema exactly so golden diffs compare key-for-key
+            **(
+                {"Tissue-Multiclass-Accuracy": tissue_acc}
+                if self.model_family == "hv"
+                else {}
+            ),
             "bPQ": float(np.nanmean(pq_arr)),
             "bDQ": float(np.nanmean(dq_s)),
             "bSQ": float(np.nanmean(sq_s)),
