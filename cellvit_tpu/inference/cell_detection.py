@@ -309,15 +309,15 @@ class CellSegmentationInference:
 
     # ----------------------------------------------------------- core
 
-    def _device_outputs(
+    def _dispatch_device(
         self, imgs: np.ndarray, magnification: float
-    ) -> Tuple[np.ndarray, Dict[str, np.ndarray], np.ndarray]:
-        """Device stage: forward + watershed + per-instance stats.
-
-        Returns host copies of (instance maps (B, H, W), stats dict,
-        token maps (B, Ht, Wt, E)) — everything the host stage needs, so
-        host assembly can overlap with the next batch's device work.
-        """
+    ) -> Tuple:
+        """Queue the device stage (forward + watershed + per-instance
+        stats) WITHOUT fetching: JAX dispatch is asynchronous, so the host
+        can assemble the previous batch's cells while the device works —
+        the one-step software pipeline the reference's mp variant builds
+        per-WSI with processes (`cell_detection_mp.py:876-931`); here the
+        device/host overlap is per-batch inside one WSI."""
         x = (imgs - self.mean) / self.std
         n_batch = x.shape[0]
         if self.mesh is not None:
@@ -335,12 +335,28 @@ class CellSegmentationInference:
         inst, stats = self._get_device_post()(
             out, ksize=ksize, object_size=object_size
         )
+        return inst, stats, tokens, n_batch
+
+    def _fetch_device(
+        self, handles: Tuple
+    ) -> Tuple[np.ndarray, Dict[str, np.ndarray], np.ndarray]:
+        """Block on a `_dispatch_device` result and copy it to host."""
+        inst, stats, tokens, n_batch = handles
         inst_np = np.asarray(inst)[:n_batch]
         stats = jax.tree_util.tree_map(
             lambda a: np.asarray(a)[:n_batch], stats
         )
         tokens = np.asarray(tokens, np.float32)[:n_batch]
         return inst_np, stats, tokens
+
+    def _device_outputs(
+        self, imgs: np.ndarray, magnification: float
+    ) -> Tuple[np.ndarray, Dict[str, np.ndarray], np.ndarray]:
+        """Device stage: forward + watershed + per-instance stats.
+
+        Returns host copies of (instance maps (B, H, W), stats dict,
+        token maps (B, Ht, Wt, E)) — everything the host stage needs."""
+        return self._fetch_device(self._dispatch_device(imgs, magnification))
 
     def _predict_batch(
         self, imgs: np.ndarray, magnification: float
@@ -410,33 +426,50 @@ class CellSegmentationInference:
         scaling = wsi.metadata["downsampling"]
         token_patch = self.model.patch_size
 
+        def assemble(fetched, metadata):
+            inst_np, stats, tokens = fetched
+            for idx, patch_meta in enumerate(metadata):
+                instances = assemble_patch_instances(
+                    inst_np[idx],
+                    jax.tree_util.tree_map(lambda a: a[idx], stats),
+                )
+                row, col = patch_meta["row"], patch_meta["col"]
+                processed_patches.append(f"{row}_{col}")
+                cells, dets, g_tok, g_pos, g_con = assemble_patch_cells(
+                    instances, tokens[idx], row, col,
+                    patch_size, overlap, scaling, token_patch,
+                )
+                cell_dict_wsi.extend(cells)
+                cell_dict_detection.extend(dets)
+                graph_tokens.extend(g_tok)
+                graph_positions.extend(g_pos)
+                graph_contours.extend(g_con)
+
+        # One-step software pipeline: batch k+1 is DISPATCHED (async)
+        # before batch k is fetched/assembled, so host contour extraction
+        # overlaps the device's forward+postproc. `device_forward_postproc`
+        # times dispatch + the blocking fetch (the residual device time the
+        # host could not hide); `host_assembly` is pure host work.
         with device_trace(str(profile_dir) if profile_dir else None):
             batches = iter(loader)
+            pending = None
             while True:
                 with timer.lap("patch_load"):
                     item = next(batches, None)
+                if item is not None:
+                    imgs, metadata = item
+                    with timer.lap("device_forward_postproc"):
+                        handles = self._dispatch_device(imgs, magnification)
+                if pending is not None:
+                    prev_handles, prev_meta = pending
+                    with timer.lap("device_forward_postproc"):
+                        fetched = self._fetch_device(prev_handles)
+                    with timer.lap("host_assembly"):
+                        assemble(fetched, prev_meta)
+                    pending = None
                 if item is None:
                     break
-                imgs, metadata = item
-                with timer.lap("device_forward_postproc"):
-                    batch_instances, tokens = self._predict_batch(
-                        imgs, magnification
-                    )
-                with timer.lap("host_assembly"):
-                    for idx, (instances, patch_meta) in enumerate(
-                        zip(batch_instances, metadata)
-                    ):
-                        row, col = patch_meta["row"], patch_meta["col"]
-                        processed_patches.append(f"{row}_{col}")
-                        cells, dets, g_tok, g_pos, g_con = assemble_patch_cells(
-                            instances, tokens[idx], row, col,
-                            patch_size, overlap, scaling, token_patch,
-                        )
-                        cell_dict_wsi.extend(cells)
-                        cell_dict_detection.extend(dets)
-                        graph_tokens.extend(g_tok)
-                        graph_positions.extend(g_pos)
-                        graph_contours.extend(g_con)
+                pending = (handles, metadata)
 
         self.logger.info(f"detected cells before cleaning: {len(cell_dict_wsi)}")
         timer.start("dedup")
