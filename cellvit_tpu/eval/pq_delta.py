@@ -388,12 +388,16 @@ def main() -> None:
     import argparse
     import os
 
+    import jax
+
     # CELLVIT_PLATFORM=cpu forces the CPU backend (the axon sitecustomize
     # overrides JAX_PLATFORMS, so this must be a config update — CLAUDE.md)
     if os.environ.get("CELLVIT_PLATFORM"):
-        import jax
-
         jax.config.update("jax_platforms", os.environ["CELLVIT_PLATFORM"])
+    # persistent compile cache: repeat runs of the same tile size skip the
+    # ~minutes-long remote compile on the TPU tunnel
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tiles", type=int, default=200)

@@ -363,15 +363,21 @@ def test_native_reader_aperio_j2k_ycbcr(tmp_path, rng):
 
 
 def test_native_reader_rejects_nontiff_vendor_formats(tmp_path):
-    """bif/vms/vmu (reference WSI_EXT, configs/python/config.py:10-19) need
-    OpenSlide vendor drivers — open_slide must fail with a clear message,
-    not a parse error."""
+    """vms/vmu (reference WSI_EXT, configs/python/config.py:10-19) are
+    multi-file containers needing OpenSlide vendor drivers — open_slide
+    must fail with a clear message, not a parse error. (.bif is now read
+    natively — tests/test_wsi_formats.py::TestBif — so a corrupt one
+    fails the open with an explicit IOError instead.)"""
     import pytest
 
     from cellvit_tpu.preprocessing.wsi_reader import open_slide
 
-    for suffix in (".bif", ".vms", ".vmu"):
+    for suffix in (".vms", ".vmu"):
         p = tmp_path / f"slide{suffix}"
         p.write_bytes(b"\0" * 16)
         with pytest.raises(NotImplementedError, match="OpenSlide"):
             open_slide(str(p))
+    p = tmp_path / "slide.bif"
+    p.write_bytes(b"\0" * 16)
+    with pytest.raises(IOError):
+        open_slide(str(p))
