@@ -50,7 +50,6 @@ def make_gt_tile(
     """
     inst = np.zeros((size, size), np.int32)
     types = np.zeros((size, size), np.int32)
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     placed = 0
     anchors: List[Tuple[float, float]] = []
     for _ in range(n_cells * 4):
@@ -70,14 +69,24 @@ def make_gt_tile(
         b = rng.uniform(3.5 * scale, a)
         th = rng.uniform(0, np.pi)
         ct, st = np.cos(th), np.sin(th)
+        # evaluate the ellipse only inside its bounding window — pixels at
+        # distance > a from the center cannot satisfy (u/a)²+(v/b)² ≤ 1
+        # (a ≥ b), so this is bit-identical to the full-grid evaluation
+        # and O(a²) instead of O(size²) per nucleus (the full grid cost
+        # 26.5 s/tile at 1024²; rng draw order is unchanged)
+        r = int(np.ceil(a)) + 1
+        y0, y1 = max(0, int(cy) - r), min(size, int(cy) + r + 2)
+        x0, x1 = max(0, int(cx) - r), min(size, int(cx) + r + 2)
+        yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
         u = (xx - cx) * ct + (yy - cy) * st
         v = -(xx - cx) * st + (yy - cy) * ct
-        sel = ((u / a) ** 2 + (v / b) ** 2 <= 1.0) & (inst == 0)
+        win = inst[y0:y1, x0:x1]
+        sel = ((u / a) ** 2 + (v / b) ** 2 <= 1.0) & (win == 0)
         if sel.sum() < 15:
             continue
         placed += 1
-        inst[sel] = placed
-        types[sel] = int(rng.integers(1, n_types + 1))
+        win[sel] = placed
+        types[y0:y1, x0:x1][sel] = int(rng.integers(1, n_types + 1))
         anchors.append((cy, cx))
     return inst, types
 
@@ -256,14 +265,17 @@ def _typed_pq(
     each predicted instance (isolates the segmentation delta — the type
     branch is identical between pipelines)."""
     pred_inst = remap_label(pred_inst)
-    pred_types = np.zeros_like(gt_types)
-    for pid in np.unique(pred_inst):
-        if pid == 0:
-            continue
-        sel = pred_inst == pid
-        tid = np.bincount(gt_types[sel], minlength=n_types + 1)
-        tid[0] = 0
-        pred_types[sel] = tid.argmax() if tid.sum() else 0
+    # majority vote for every predicted instance in one joint bincount
+    # (the per-pid full-image masks cost ~450 × 1M compares at 1024²)
+    n_pred = int(pred_inst.max())
+    counts = np.bincount(
+        pred_inst.ravel().astype(np.int64) * (n_types + 1) + gt_types.ravel(),
+        minlength=(n_pred + 1) * (n_types + 1),
+    ).reshape(n_pred + 1, n_types + 1)
+    counts[:, 0] = 0
+    lab_type = np.where(counts.sum(1) > 0, counts.argmax(1), 0)
+    lab_type[0] = 0
+    pred_types = lab_type[pred_inst]
     out = []
     for t in range(1, n_types + 1):
         g = np.where(gt_types == t, gt_inst, 0)

@@ -450,6 +450,11 @@ class CellSegmentationInference:
         # overlaps the device's forward+postproc. `device_forward_postproc`
         # times dispatch + the blocking fetch (the residual device time the
         # host could not hide); `host_assembly` is pure host work.
+        # `detection_loop` is the wall clock of the whole pipelined loop —
+        # device-stage utilization = (pure device+transfer wall for the same
+        # batches) / detection_loop (recorded runs: docs/PERFORMANCE.md
+        # "End-to-end WSI run").
+        timer.start("detection_loop")
         with device_trace(str(profile_dir) if profile_dir else None):
             batches = iter(loader)
             pending = None
@@ -470,6 +475,7 @@ class CellSegmentationInference:
                 if item is None:
                     break
                 pending = (handles, metadata)
+        timer.stop("detection_loop")
 
         self.logger.info(f"detected cells before cleaning: {len(cell_dict_wsi)}")
         timer.start("dedup")

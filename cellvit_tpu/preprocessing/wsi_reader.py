@@ -32,6 +32,15 @@ def _load_library() -> ctypes.CDLL:
     if not so.exists():
         subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True)
     lib = ctypes.CDLL(str(so))
+    if not hasattr(lib, "wsi_write_bif"):
+        # stale binary (e.g. a checkout whose committed .so predates the
+        # newest entry point, with equal file mtimes so make is a no-op):
+        # unlink (the old mapping must keep its own inode), rebuild, reload.
+        # Probe the NEWEST symbol here whenever the C ABI grows.
+        del lib
+        so.unlink()
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True)
+        lib = ctypes.CDLL(str(so))
     lib.wsi_open.restype = ctypes.c_void_p
     lib.wsi_open.argtypes = [ctypes.c_char_p]
     lib.wsi_close.argtypes = [ctypes.c_void_p]
