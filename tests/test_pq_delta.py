@@ -30,6 +30,25 @@ def test_pq_delta_within_tolerance():
     assert report["exact"]["bPQ"] > 0.5, report
 
 
+def test_pq_delta_dense_tiles_within_tolerance():
+    """Production-density regression guard (round 5). At 1024² the GT
+    density is ~450 nuclei/tile; the frontier flood needs ~1700 passes
+    there, and the old fixed 512-iteration cap silently truncated it —
+    ~40% of the foreground stayed unlabeled, a −0.21 bPQ collapse that no
+    ≤256² test could see (the first `--size 1024` harness run caught it).
+    This runs the same density regime at 512² (~115 nuclei, several
+    hundred flood passes) so a reintroduced iteration cap or ramp
+    regression fails CI; the recorded 1024² measurements live in
+    docs/PARITY.md."""
+    from cellvit_tpu.eval.pq_delta import measure_pq_delta
+
+    report = measure_pq_delta(n_tiles=2, size=512, levels_list=(64,), batch=2)
+    lv = report["levels"][64]
+    assert abs(lv["delta_bPQ"]) < 8e-3, report
+    assert lv["agreement_pq_vs_exact"] > 0.97, report
+    assert report["exact"]["bPQ"] > 0.5, report
+
+
 def test_gt_tile_has_touching_cells():
     """The harness only stresses watershed if clusters actually touch."""
     from cellvit_tpu.eval.pq_delta import make_gt_tile
