@@ -52,8 +52,12 @@ PITFALL"):
 - 3× the 8-pps anchor = 24 pps would require this 197-TF chip to beat a
   312-TF A100 by 3× on a FLOP-bound workload. Normalized per TFLOP of
   chip, the current number already beats the anchor by
-  (21.6/197)/(8/312) ≈ 4.3×, and beats the reference's SHIPPED serial
+  (22.56/197)/(8/312) ≈ 4.4×, and beats the reference's SHIPPED serial
   pipeline (≈2.4 pps, step 3 above) by ≈9×.
+- The per-stage floor table (docs/PERFORMANCE.md "Per-stage floor table")
+  gives every stage a measured lower bound with a named limiter; the
+  floor sum lands ON the 333-ms (3.0×) line, which is why the official
+  claim is the per-chip-TFLOP statement (BASELINE.md).
 """
 
 import argparse

@@ -22,7 +22,7 @@ Two schedules (same quantized-flood semantics):
 * ``"frontier"`` (default): a single `while_loop` whose level is computed
   each iteration, per pixel, as the minimum quantized height over the
   current frontier (unlabeled in-mask pixels with a labeled neighbor)
-  within a 33×33 window — empty levels are never visited, each level is
+  within a 31×31 window — empty levels are never visited, each level is
   stabilized exactly as long as it keeps adopting, and distant basins
   flood concurrently (see `_flood_frontier` for why the level is local:
   the round-4 global level needed ~1700 serialized passes at production
@@ -72,7 +72,6 @@ def _flood_frontier(
     lab: jnp.ndarray,
     mask: jnp.ndarray,
     max_iters: int,
-    window: int = 16,
     faithful_iters: int = 256,
     ramp_every: int = 4,
 ) -> jnp.ndarray:
@@ -80,8 +79,8 @@ def _flood_frontier(
 
     Each iteration finds the unlabeled in-mask pixels that touch a label
     (the frontier) and computes, per pixel, the minimum quantized height of
-    any frontier pixel within a (2·window+1)² neighborhood (two separable
-    min-pools); an adopt pass is gated at that local level. Flood ordering
+    any frontier pixel within a 31×31 neighborhood (separable shift-min
+    doubling); an adopt pass is gated at that local level. Flood ordering
     only matters between basins that compete for the same pixels — a
     nuclei-scale phenomenon — so the local level preserves the exact
     schedule where it decides anything while distant basins flood
@@ -94,12 +93,12 @@ def _flood_frontier(
     nucleus at a time). The old fixed `max_iters=512` silently truncated
     such floods, leaving ~40% of the foreground unlabeled (−0.21 bPQ at
     1024², caught by the first `eval/pq_delta --size 1024` run). The
-    windowed level is bit-identical to the CONVERGED global schedule on
-    every measured content (256² sparse: 0/65k px differ; 3×1024² dense
-    tiles: identical agreement 0.9956 / ΔbPQ +0.0003 vs the exact heap
-    flood) in 240-283 passes — and even sparse content converges faster
-    (79 vs 129 passes at 256²) because independent basins no longer wait
-    on each other's levels.
+    windowed level matches the CONVERGED global schedule to within 0-4 px
+    per tile on every measured content (256² sparse: 0/65k px differ;
+    3×1024² dense tiles: 0/0/4 px of ~43k fg; agreement 0.9956 /
+    ΔbPQ +0.0003 vs the exact heap flood) in 240-283 passes — and even
+    sparse content converges faster (79 vs 129 passes at 256²) because
+    independent basins no longer wait on each other's levels.
 
     `faithful_iters`/`ramp_every` keep a worst-case completion bound: after
     `faithful_iters` exactly-scheduled passes the gate gains
@@ -110,15 +109,31 @@ def _flood_frontier(
     (cumulative-sweep ordering, measured −0.002 bPQ when it decides
     alone); no measured content reaches it."""
     big = jnp.int32(2**30)
-    win = 2 * window + 1
+
+    def _shift_s(x, axis, s):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (max(s, 0), max(-s, 0))
+        padded = jnp.pad(x, pad, constant_values=2**30)
+        start = [0, 0]
+        start[axis] = max(-s, 0)
+        return jax.lax.dynamic_slice(padded, start, x.shape)
 
     def local_min(x):
-        y = jax.lax.reduce_window(
-            x, 2**30, jax.lax.min, (win, 1), (1, 1), "SAME"
-        )
-        return jax.lax.reduce_window(
-            y, 2**30, jax.lax.min, (1, win), (1, 1), "SAME"
-        )
+        # separable min-pool of radius 15 (31×31 window) via shift-min
+        # doubling: y_{k+1} = min(y_k, y_k shifted ±2^k) grows the covered
+        # radius 1→3→7→15. Pure pads/mins — a reduce_window formulation
+        # pushed the composed one-jit WSI device stage 3.2 MB over the
+        # 128 MB VMEM program budget (windowed double-buffering next to
+        # the Pallas compaction kernel) and compiled far slower.
+        for axis in (0, 1):
+            for s in (1, 2, 4, 8):
+                x = jnp.minimum(
+                    x,
+                    jnp.minimum(
+                        _shift_s(x, axis, s), _shift_s(x, axis, -s)
+                    ),
+                )
+        return x
 
     def cond(state):
         _, changed, it = state

@@ -231,10 +231,14 @@ def main() -> None:
         lowered = jf.lower(dec_params, dec_bs, skips, z4)
         compiled = lowered.compile()
         compile_s = time.perf_counter() - t0
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        tf = float(cost.get("flops", 0.0)) / 1e12
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            tf = float(cost.get("flops", 0.0)) / 1e12
+        except Exception as e:  # tunnel backends may not expose it
+            print(f"cost_analysis unavailable ({e}); flops=0", flush=True)
+            tf = 0.0
         for _ in range(WARMUP):
             float(jf(dec_params, dec_bs, skips, z4))
         chunk_ms = []

@@ -192,8 +192,18 @@ def test_closed_loop_recovers_separable_gt(tmp_path_factory):
                            batch_size=8)
     results = inf.run_patch_inference()
     d = results["dataset"]
-    assert d["Binary-Cell-Dice-Mean"] > 0.7, d
-    assert d["bPQ"] > 0.35, d
+    assert d["Binary-Cell-Dice-Mean"] > 0.9, d
+    # Floor calibration (round 5, fixed watershed): this exact config
+    # measures bPQ 0.4816 / precision 0.968 / recall 0.381 / Dice 0.9994
+    # (results/slowtest_bpq.log). A 0.5 floor is NOT reachable at this
+    # scale: recall is capped at ~0.38 by the trained HV field merging
+    # touching nuclei (32 images × 16 epochs from scratch — same
+    # diagnosis as the reference-scale closed loop, docs/PARITY.md
+    # "Closed-loop"), not by pipeline wiring. The floors below sit above
+    # sampling noise but under the training-scale cap; precision guards
+    # postproc fragmentation regressions specifically.
+    assert d["bPQ"] > 0.42, d
+    assert d["precision_detection"] > 0.9, d
 
 
 def test_sweep_enumeration():
