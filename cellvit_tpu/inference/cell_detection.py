@@ -230,19 +230,26 @@ class CellSegmentationInference:
         )
 
     def _get_device_post(self):
-        """ONE jit for everything after the model forward (probability maps
-        → watershed → relabel → per-instance stats): the previous
-        formulation ran softmax/argmax/astype as eager ops between the jits,
-        each paying a dispatch round-trip (~30-90 ms over a remote-TPU
-        tunnel). Built lazily so tests can stub `_forward` (standard
-        channel-minor outputs) after construction; `_forward_maps` (set for
+        """Device postprocessing after the model forward (probability maps
+        → watershed → relabel → per-instance stats) as TWO chained jits:
+        no eager op ever sits between them (the round-3 formulation ran
+        softmax/argmax/astype eagerly between jits, each paying a dispatch
+        round-trip of ~30-90 ms over a remote-TPU tunnel), and chaining
+        device-resident arrays through a second jit costs no sync. It is
+        two jits rather than one because the fused single-program version
+        exceeds the 128 MB VMEM program budget at 8×1024² (131.21M —
+        XLA co-schedules the relabel/stats segment against the Pallas
+        label-compaction kernel's 35M scoped window+spill demand; first
+        hit by the round-5 recorded WSI run, results/wsi_run.log). Built
+        lazily so tests can stub `_forward` (standard channel-minor
+        outputs) after construction; `_forward_maps` (set for
         separate-tower HV models) emits postproc-ready W-minor maps."""
         post = getattr(self, "_device_post_fn", None)
         if post is not None:
             return post
         use_maps = hasattr(self, "_forward_maps")
 
-        def _device_post(out, ksize, object_size):
+        def _device_instances(out, ksize, object_size):
             if use_maps:
                 np1 = out["np_prob"]
                 inst = instance_map_batch_maps(
@@ -264,6 +271,9 @@ class CellSegmentationInference:
                 type_map = jnp.argmax(
                     out["nuclei_type_map"], -1
                 ).astype(jnp.int32)
+            return inst, type_map, np1
+
+        def _device_stats(inst, type_map, np1):
             h, w = inst.shape[1], inst.shape[2]
             inst = jax.vmap(
                 lambda m: relabel_consecutive(m, h * w // 2 + 2)
@@ -275,7 +285,17 @@ class CellSegmentationInference:
             )
             return inst, stats
 
-        post = jax.jit(_device_post, static_argnames=("ksize", "object_size"))
+        inst_jit = jax.jit(
+            _device_instances, static_argnames=("ksize", "object_size")
+        )
+        stats_jit = jax.jit(_device_stats)
+
+        def post(out, ksize, object_size):
+            inst, type_map, np1 = inst_jit(
+                out, ksize=ksize, object_size=object_size
+            )
+            return stats_jit(inst, type_map, np1)
+
         self._device_post_fn = post
         return post
 
