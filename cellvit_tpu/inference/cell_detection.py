@@ -285,10 +285,23 @@ class CellSegmentationInference:
             )
             return inst, stats
 
-        inst_jit = jax.jit(
-            _device_instances, static_argnames=("ksize", "object_size")
+        # Cap the scoped-VMEM budget on TPU: at 8×1024² the latency-hiding
+        # scheduler otherwise co-schedules ~96M of buffers next to the
+        # Pallas label-compaction kernel's 35M scoped demand and overruns
+        # the 128M VMEM program budget by 3.2M (first hit by the recorded
+        # round-5 WSI run; env-level XLA_FLAGS can't carry this TPU-only
+        # flag through a CPU-frontend process, per-jit options can).
+        opts = (
+            {"xla_tpu_scoped_vmem_limit_kib": 96 * 1024}
+            if jax.default_backend() not in ("cpu",)
+            else None
         )
-        stats_jit = jax.jit(_device_stats)
+        inst_jit = jax.jit(
+            _device_instances,
+            static_argnames=("ksize", "object_size"),
+            compiler_options=opts,
+        )
+        stats_jit = jax.jit(_device_stats, compiler_options=opts)
 
         def post(out, ksize, object_size):
             inst, type_map, np1 = inst_jit(

@@ -158,8 +158,16 @@ def propagate_min_pallas(
             pltpu.VMEM((h, w), jnp.int32),
             pltpu.VMEM((h, w), jnp.int32),
         ],
+        # 40M: at 8×1024² the kernel's measured stack demand is 35.21M
+        # (2×-buffered 8M in/out windows + 2M s8 window + 2×4M scratch +
+        # spills). The 32M default compiled inside the bench graph but
+        # failed inside the two-jit WSI device stage ("allocating on
+        # stack for propagate_min_pallas… 35.21M, limit 32.00M" —
+        # results/wsi_run.log, round 5); headroom is NOT free to raise
+        # further: a 64M experiment on the sibling compact kernel made
+        # the demand chase the limit (65.21M > 64M, round-3 ledger).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024
+            vmem_limit_bytes=40 * 1024 * 1024
         ),
         interpret=interpret,
     )(seed.astype(jnp.int32), fg.astype(jnp.int8))

@@ -26,11 +26,13 @@ from __future__ import annotations
 
 import argparse
 import json
+
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
@@ -153,6 +155,14 @@ def main() -> None:
     t0 = time.perf_counter()
     inf._fetch_device(inf._dispatch_device(imgs0, 40))
     print(f"compile+first batch: {time.perf_counter() - t0:.1f}s", flush=True)
+    tail = n_patches % args.batch
+    if tail:
+        # ragged last batch compiles its own graphs — keep that out of
+        # the timed phases
+        t0 = time.perf_counter()
+        inf._fetch_device(inf._dispatch_device(imgs0[:tail], 40))
+        print(f"tail-batch compile: {time.perf_counter() - t0:.1f}s",
+              flush=True)
 
     # ---- phase A: device-only wall over the same batches (dispatch k+1
     # before fetching k — identical pipelining, host assembly skipped)
@@ -172,10 +182,43 @@ def main() -> None:
     print(f"phase A (device-only): {device_wall:.2f}s "
           f"= {device_wall / n_patches * 1e3:.1f} ms/patch", flush=True)
 
-    # ---- phase B: the production pipeline
+    # ---- phase B: the production pipeline (real PNG decode on the clock)
     outdir = inf.process_wsi(wsi, patch_size=patch, overlap=ov, geojson=True)
     timings = json.loads((outdir / "timings.json").read_text())
     loop = timings["stages_s"]["detection_loop"]
+
+    # ---- phase C: same pipeline fed from pre-decoded RAM patches —
+    # isolates the software pipeline's device/host overlap from this
+    # box's single decode core (PNG decode is embarrassingly parallel
+    # across loader workers; scaling it is a core-count question, see
+    # docs/PERFORMANCE.md "End-to-end WSI run")
+    import cellvit_tpu.inference.cell_detection as cd
+
+    items = [ds[i] for i in range(n_patches)]
+
+    class RamDS:
+        def __init__(self, *_a, **_k):
+            pass
+
+        def __len__(self):
+            return n_patches
+
+        def __getitem__(self, i):
+            return items[i]
+
+        collate_batch = staticmethod(PatchedWSIInference.collate_batch)
+
+    orig = cd.PatchedWSIInference
+    cd.PatchedWSIInference = RamDS
+    try:
+        outdir_c = inf.process_wsi(
+            wsi, subdir_name="ram_fed", patch_size=patch, overlap=ov
+        )
+    finally:
+        cd.PatchedWSIInference = orig
+    timings_c = json.loads((outdir_c / "timings.json").read_text())
+    loop_c = timings_c["stages_s"]["detection_loop"]
+
     summary = {
         "n_patches": timings["n_patches"],
         "device_only_wall_s": round(device_wall, 2),
@@ -183,6 +226,14 @@ def main() -> None:
         "device_stage_utilization": round(device_wall / loop, 4),
         "stages_s": timings["stages_s"],
         "pps_end_to_end": round(timings["n_patches"] / loop, 2),
+        "ram_fed": {
+            "detection_loop_wall_s": loop_c,
+            "device_stage_utilization": round(device_wall / loop_c, 4),
+            "stages_s": timings_c["stages_s"],
+            "pps_end_to_end": round(
+                timings_c["n_patches"] / loop_c, 2
+            ),
+        },
     }
     print(json.dumps(summary, indent=2))
     (args.out / "wsi_timings_summary.json").write_text(
